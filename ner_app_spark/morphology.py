@@ -1,0 +1,150 @@
+"""Frozen deterministic morphology provider.
+
+The reference uses ``pymorphy3.MorphAnalyzer`` for lemma + POS
+(/root/reference/src/analysis/tfidf.py:26-34,
+/root/reference/src/analysis/phrase_extractor.py:14-22). pymorphy3 is not
+available in this sandbox (and a 100 TB pipeline would pin its dictionary
+version anyway), so morphology is a *pluggable provider*; the frozen
+provider below generates a deterministic Russian-like vocabulary with known
+(surface, lemma, POS) rows. The same table backs BOTH the pure-Python
+oracle (ner_app_spark.oracle) and the Spark pipeline, so correctness
+comparisons are exact.
+
+Provider contract (mirrors the reference's usage of pymorphy3):
+  * ``lemma_of(token)``  == ``parse(token)[0].normal_form``: lowercase
+    normal form; unknown tokens (latin, digits) lemmatize to their
+    lowercased selves (pymorphy3 behaviour for out-of-vocabulary tokens).
+  * ``pos_of(word)``     == ``parse(word)[0].tag.POS``: OpenCorpora tag or
+    None for unknown/numeral tokens. Hyphenated compounds resolve to the
+    POS of their last part (documented provider choice; pymorphy3 also
+    tags hyphenated compounds by a dominant part).
+
+POS -> pattern-letter mapping is the reference's POS_TAGS
+(/root/reference/src/analysis/consts.py:44-51): NOUN->С,
+ADJF/ADJS/PRTF/PRTS->П, ADVB->Н, everything else (incl. None) -> '?'.
+"""
+
+from __future__ import annotations
+
+import random
+from functools import lru_cache
+
+SEED = 42
+
+_SYLLABLES = [
+    "ба", "ве", "ги", "до", "жу", "зе", "ка", "ли", "мо", "ну",
+    "пе", "ри", "со", "ту", "фе", "ха", "це", "че", "ша", "ще",
+]
+
+# Suffix paradigms: class -> (lemma_suffix, surface_suffixes, pos_tag)
+_NOUN_FORMS = ["та", "ты", "те", "ту", "той", "тах"]
+_ADJ_FORMS = ["ный", "ная", "ное", "ной", "ных", "ным"]
+_VERB_FORMS = ["вает", "вают", "вал"]
+
+_PREPOSITIONS = ["на", "по", "из", "под", "над", "при"]
+
+# POS_TAGS mapping per /root/reference/src/analysis/consts.py:44-51
+POS_TAGS = {
+    "NOUN": "С",
+    "ADJF": "П",
+    "ADJS": "П",
+    "ADVB": "Н",
+    "PRTF": "П",
+    "PRTS": "П",
+}
+
+N_NOUN_STEMS = 60
+N_ADJ_STEMS = 40
+N_ADV_STEMS = 15
+N_VERB_STEMS = 20
+
+# A handful of "celebrity" head-entity nouns get heavily over-sampled by the
+# synthesizer to exercise salted aggregation (skew knob, FIXTURES.md §1).
+N_HEAD_ENTITIES = 5
+
+
+def _stems(rng: random.Random, n: int) -> list[str]:
+    stems: set[str] = set()
+    while len(stems) < n:
+        k = rng.randint(2, 3)
+        stems.add("".join(rng.choice(_SYLLABLES) for _ in range(k)))
+    return sorted(stems)
+
+
+@lru_cache(maxsize=1)
+def build_morphology() -> dict[str, tuple[str, str | None]]:
+    """surface -> (lemma, opencorpora_pos). Deterministic (SEED)."""
+    rng = random.Random(SEED)
+    table: dict[str, tuple[str, str | None]] = {}
+
+    def add(surface: str, lemma: str, pos: str | None) -> None:
+        assert surface not in table or table[surface] == (lemma, pos), surface
+        table[surface] = (lemma, pos)
+
+    noun_stems = _stems(rng, N_NOUN_STEMS)
+    adj_stems = _stems(rng, N_ADJ_STEMS)
+    adv_stems = _stems(rng, N_ADV_STEMS)
+    verb_stems = _stems(rng, N_VERB_STEMS)
+
+    for stem in noun_stems:
+        lemma = stem + _NOUN_FORMS[0]
+        for suf in _NOUN_FORMS:
+            add(stem + suf, lemma, "NOUN")
+    for stem in adj_stems:
+        lemma = stem + _ADJ_FORMS[0]
+        for suf in _ADJ_FORMS:
+            add(stem + suf, lemma, "ADJF")
+    for stem in adv_stems:
+        add(stem + "но", stem + "но", "ADVB")
+    for stem in verb_stems:
+        lemma = stem + "вать"
+        add(lemma, lemma, "INFN")
+        for suf in _VERB_FORMS:
+            add(stem + suf, lemma, "VERB")
+    for prep in _PREPOSITIONS:
+        add(prep, prep, "PREP")
+
+    return dict(table)
+
+
+@lru_cache(maxsize=1)
+def noun_lemmas() -> list[str]:
+    return sorted({l for (l, p) in build_morphology().values() if p == "NOUN"})
+
+
+@lru_cache(maxsize=1)
+def head_entity_lemmas() -> list[str]:
+    """The over-sampled 'celebrity' nouns (skew targets)."""
+    return noun_lemmas()[:N_HEAD_ENTITIES]
+
+
+def lemma_of(token: str) -> str:
+    """parse(tok)[0].normal_form analogue (tfidf.py:34 semantics)."""
+    w = token.lower()
+    hit = build_morphology().get(w)
+    return hit[0] if hit else w
+
+
+def pos_of(word: str) -> str | None:
+    """parse(word)[0].tag.POS analogue (phrase_extractor.py:14-17)."""
+    w = word.lower()
+    table = build_morphology()
+    hit = table.get(w)
+    if hit:
+        return hit[1]
+    if "-" in w:
+        last = w.rsplit("-", 1)[-1]
+        hit = table.get(last)
+        if hit:
+            return hit[1]
+    return None
+
+
+def pos_letter(word: str) -> str:
+    """POS -> pattern letter with '?' fallback (consts.py:44-51)."""
+    return POS_TAGS.get(pos_of(word) or "", "?")
+
+
+def morphology_rows() -> list[tuple[str, str, str | None]]:
+    """(surface, lemma, pos) rows for a broadcast DataFrame/dim table."""
+    return [(s, l, p) for s, (l, p) in sorted(build_morphology().items())]

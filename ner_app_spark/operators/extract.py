@@ -1,0 +1,120 @@
+"""Extraction stage: pages -> extracted text -> per-doc phrases.
+
+This is the Spark lifecycle equivalent of the reference's flagship
+``POST /`` analyze path (/root/reference/src/routers/views.py:38-77 ->
+src/analysis/phrase_extractor.py:45-71), SURVEY.md §3.1:
+
+    read(pages)
+      -> filter(lang='ru', text non-empty)          [P6, lang gate]
+      -> repartition(xxhash64(url) % N)             [explicit, resume-stable]
+      -> extract_text pUDF                          [byte-identical invariant]
+      -> mapInPandas(extract_phrases)               [F1-F5, A1, A2, A6, O1]
+
+Scale notes (100 TB):
+  * Single-document TF-IDF (A2) is per-doc local math — computing it
+    inside the same Arrow batch avoids shuffling the exploded n-gram
+    table (~10x the text volume) entirely. The groupBy/window formulation
+    exists in operators/tfidf.py for the SQL-checkable variant.
+  * The morphology lookup is a bounded in-process dict (lru_cache per
+    Python worker). A production-size dictionary would ship as a Spark
+    broadcast or --archives sidecar; the provider interface is the same.
+  * The reference constructs a fresh MorphAnalyzer per call
+    (tfidf.py:14) and parses token-at-a-time — per-row Python cost this
+    stage amortizes across Arrow batches (the mandatory mapInPandas
+    batching of BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PHRASE_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("phrase", StringType(), False),
+        StructField("type", StringType(), False),
+        StructField("tfidf", DoubleType(), False),
+        StructField("length", IntegerType(), False),
+        StructField("head_noun", StringType(), False),
+    ]
+)
+
+EXTRACTED_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("extracted", StringType(), False),
+        StructField("lang", StringType(), False),
+    ]
+)
+
+
+def extracted_text(pages: DataFrame) -> DataFrame:
+    """(url, extracted, lang): boilerplate-stripped text, byte-identical
+    per url to the authored text (BASELINE.json invariant)."""
+
+    def run(batches) -> Iterator:
+        from ..functions.text import extract_text
+
+        for pdf in batches:
+            out = pdf[["url", "lang"]].copy()
+            out["extracted"] = [extract_text(bytes(h)) for h in pdf["html"]]
+            yield out[["url", "extracted", "lang"]]
+
+    return pages.select("url", "html", "lang").mapInPandas(run, schema=EXTRACTED_SCHEMA)
+
+
+def _analyze_batches(batches) -> Iterator:
+    """Arrow-batched analyze: tokenization, lemma n-grams, single-doc
+    TF-IDF, POS-pattern gate, head noun — the whole per-doc hot path in
+    one Python worker pass, identical math to ner_app_spark.oracle."""
+    import pandas as pd
+
+    from ..oracle import analyze
+
+    for pdf in batches:
+        urls: list[str] = []
+        rows: dict[str, list] = {
+            "phrase": [],
+            "type": [],
+            "tfidf": [],
+            "length": [],
+            "head_noun": [],
+        }
+        for url, text in zip(pdf["url"], pdf["text"]):
+            for p in analyze(text):
+                urls.append(url)
+                rows["phrase"].append(p.phrase)
+                rows["type"].append(p.type)
+                rows["tfidf"].append(p.tfidf)
+                rows["length"].append(p.length)
+                rows["head_noun"].append(p.head_noun)
+        yield pd.DataFrame({"url": urls, **rows})
+
+
+def extract_phrases(
+    pages: DataFrame,
+    lang: str = "ru",
+    num_partitions: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """pages -> phrases(url, phrase, type, tfidf, length, head_noun).
+
+    Explicit repartition on xxhash64(url) (north_rule: partitioning
+    handled explicitly) gives uniform Arrow batch sizes and stable
+    resume partitions regardless of upstream file layout.
+    """
+    docs = pages.filter(F.col("lang") == lang).filter(F.length(F.col(text_col)) > 0)
+    docs = docs.select("url", F.col(text_col).alias("text"))
+    if num_partitions:
+        docs = docs.repartition(num_partitions, F.xxhash64("url"))
+    return docs.mapInPandas(_analyze_batches, schema=PHRASE_SCHEMA)
