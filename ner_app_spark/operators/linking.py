@@ -1,0 +1,149 @@
+"""Entity linking: mention -> alias-dictionary candidates -> vectorized
+cosine scoring -> top-1 link.
+
+Re-expresses the reference's two similarity-search paths as one
+distributed retrieval query:
+  * candidate probe by natural key = the dict-lookup "hash join"
+    (/root/reference/src/services/dictionary_service.py:186-217, J1)
+  * TF-IDF cosine ranking (/root/reference/src/analysis/tfidf.py:58-90,
+    A3 + J6) — here over character 3-grams of the mention/alias strings
+    (single-lemma strings have no word n-grams; char n-grams are the
+    standard blocking/scoring featurization, cf. SparkER EDBT'19).
+
+Scale design (100 TB):
+  * Mentions are DISTINCT strings, not occurrences — the mention
+    vocabulary is orders of magnitude smaller than the corpus; scoring
+    runs once per string, then a cheap hash join fans results back out.
+  * The alias dictionary is a dimension table -> broadcast both for the
+    exact probe and for the shingle join (no shuffle of the big side).
+  * Fuzzy candidate generation uses MinHash-LSH banding on char 3-grams:
+    join on (band, signature) buckets instead of an all-pairs cross.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_BANDS = 4
+
+
+def _shingle_expr(col: str, n: int = 3):
+    """Array of char n-grams (short strings yield themselves); expr-based
+    because substring with a per-row start needs SQL `substring`."""
+    c = F.lower(F.col(col))
+    return F.when(F.length(c) <= n, F.array(c)).otherwise(
+        F.expr(
+            f"transform(sequence(1, length(lower({col})) - {n - 1}), "
+            f"i -> substring(lower({col}), i, {n}))"
+        )
+    )
+
+
+def with_shingles(df: DataFrame, col: str, out: str = "shingles", n: int = 3) -> DataFrame:
+    return df.withColumn(out, _shingle_expr(col, n))
+
+
+def minhash_signatures(df: DataFrame, shingle_col: str = "shingles", n_bands: int = N_BANDS) -> DataFrame:
+    """One row per (row, band) with the band's min-hash over shingles.
+    Band hash = min(xxhash64(band, shingle)) — pure column ops, JVM-side."""
+    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    out = df.select("*", bands)
+    return out.withColumn(
+        "sig",
+        F.array_min(
+            F.transform(F.col(shingle_col), lambda s: F.xxhash64(F.col("band"), s))
+        ),
+    )
+
+
+def candidate_pairs(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+    """(mention, alias, entity_id, canonical_name) candidates: exact
+    natural-key probe UNION MinHash-LSH band buckets. ``aliases`` is a
+    small dimension -> broadcast on both paths."""
+    m = with_shingles(mentions.select("mention").distinct(), "mention")
+    a = with_shingles(
+        aliases.select("alias", "entity_id", "canonical_name"), "alias"
+    )
+
+    exact = m.join(
+        F.broadcast(a), F.col("mention") == F.col("alias"), "inner"
+    ).select("mention", "alias", "entity_id", "canonical_name")
+
+    m_sig = minhash_signatures(m).select("mention", "band", "sig")
+    a_sig = minhash_signatures(a).select(
+        "alias", "entity_id", "canonical_name", "band", "sig"
+    )
+    fuzzy = m_sig.join(F.broadcast(a_sig), ["band", "sig"], "inner").select(
+        "mention", "alias", "entity_id", "canonical_name"
+    )
+    return exact.unionByName(fuzzy).distinct()
+
+
+def score_pairs(pairs: DataFrame) -> DataFrame:
+    """Char-3gram cosine between mention and alias, fully vectorized:
+    explode shingle multisets, inner equi-join coordinates, sum of
+    products over the pair, divide by the two norms (J6 pattern)."""
+
+    def side(col: str, keep: list[str]) -> DataFrame:
+        return (
+            pairs.select(*keep, F.explode(_shingle_expr(col)).alias("sh"))
+            .groupBy(*keep, "sh")
+            .agg(F.count("*").cast("double").alias(f"c_{col}"))
+        )
+
+    key = ["mention", "alias", "entity_id"]
+    mv = side("mention", ["mention"]).dropDuplicates(["mention", "sh"])
+    av = side("alias", ["alias"]).dropDuplicates(["alias", "sh"])
+    m_norm = mv.groupBy("mention").agg(
+        F.sqrt(F.sum(F.col("c_mention") ** 2)).alias("m_norm")
+    )
+    a_norm = av.groupBy("alias").agg(
+        F.sqrt(F.sum(F.col("c_alias") ** 2)).alias("a_norm")
+    )
+    dots = (
+        pairs.join(mv, "mention")
+        .join(av, ["alias", "sh"])
+        .groupBy(*key, "canonical_name")
+        .agg(F.sum(F.col("c_mention") * F.col("c_alias")).alias("dot"))
+    )
+    return (
+        dots.join(m_norm, "mention")
+        .join(a_norm, "alias")
+        .withColumn("score", F.col("dot") / (F.col("m_norm") * F.col("a_norm")))
+        .select(*key, "canonical_name", "score")
+    )
+
+
+def link_mentions(
+    phrases: DataFrame,
+    aliases: DataFrame,
+    min_score: float = 0.5,
+    mention_col: str = "head_noun",
+) -> DataFrame:
+    """phrases -> (mention, entity_id, canonical_name, score): top-1 link
+    per distinct mention above threshold. Deterministic tie-break
+    (score desc, entity_id asc)."""
+    mentions = (
+        phrases.filter(F.col(mention_col) != "")
+        .select(F.col(mention_col).alias("mention"))
+        .distinct()
+    )
+    scored = score_pairs(candidate_pairs(mentions, aliases))
+    w = Window.partitionBy("mention").orderBy(
+        F.desc("score"), F.asc("entity_id")
+    )
+    return (
+        scored.filter(F.col("score") >= min_score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def link_occurrences(phrases: DataFrame, links: DataFrame) -> DataFrame:
+    """Fan the per-string links back out to per-doc occurrences."""
+    return phrases.join(
+        links.withColumnRenamed("mention", "head_noun"), "head_noun", "inner"
+    ).select("url", "phrase", "head_noun", "entity_id", "canonical_name", "score")
