@@ -1,0 +1,82 @@
+"""Resume test (SURVEY.md §5.5): a killed job resumes with zero
+recomputation of completed partitions; output identical to a clean run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ner_app_spark.plans.checkpoint import CheckpointManager
+from ner_app_spark.plans.pipeline import pipeline_counters, run_pipeline
+from ner_app_spark.sources.pages import synth_pages_df
+
+N_PARTS = 8
+
+
+def _rows(df):
+    return {tuple(r) for r in df.drop("part_id").collect()}
+
+
+def test_stage_resume_skips_completed_parts(spark, tmp_path):
+    ckpt = CheckpointManager(str(tmp_path / "ck"), n_parts=N_PARTS)
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("url"), (F.col("id") * 2).alias("v")
+    )
+
+    # simulate a killed job: first run saw only part of the input
+    partial = df.filter(
+        F.pmod(F.xxhash64("url"), F.lit(N_PARTS)) < 3
+    )
+    out1, m1 = ckpt.run_stage(spark, "s1", partial, key="url")
+    assert m1.parts_computed == N_PARTS and m1.parts_skipped == 0
+
+    # wipe manifest rows for parts >= 3 to mark them incomplete
+    mdir = str(tmp_path / "ck" / "s1" / "manifest")
+    manifest = spark.read.parquet(mdir).filter(F.col("part_id") < 3)
+    keep = manifest.collect()
+    import shutil
+
+    shutil.rmtree(mdir)
+    spark.createDataFrame(
+        keep,
+        "part_id int, row_count long, content_hash long, wall_ms long, status string",
+    ).write.mode("overwrite").parquet(mdir)
+
+    # restart with the FULL input: parts 0-2 must be skipped (zero recompute)
+    out2, m2 = ckpt.run_stage(spark, "s1", df, key="url")
+    assert m2.parts_skipped == 3
+    assert m2.parts_computed == N_PARTS - 3
+    assert _rows(out2) == {tuple(r) for r in df.collect()}
+
+    # a third run skips everything
+    out3, m3 = ckpt.run_stage(spark, "s1", df, key="url")
+    assert m3.parts_skipped == N_PARTS and m3.parts_computed == 0
+    assert m3.rows_computed == 0
+    assert _rows(out3) == _rows(out2)
+
+
+def test_manifest_counters(spark, tmp_path):
+    ckpt = CheckpointManager(str(tmp_path / "ck2"), n_parts=4)
+    df = spark.range(0, 100).select(F.concat(F.lit("u"), F.col("id")).alias("url"))
+    _, m = ckpt.run_stage(spark, "s", df, key="url")
+    manifest = spark.read.parquet(str(tmp_path / "ck2" / "s" / "manifest"))
+    rows = manifest.collect()
+    assert {int(r["part_id"]) for r in rows} == {0, 1, 2, 3}
+    assert sum(int(r["row_count"]) for r in rows) == 100
+    assert all(r["status"] == "ok" for r in rows)
+    assert m.rows_computed == 100
+
+
+def test_pipeline_checkpointed_equals_direct(spark, tmp_path):
+    pages = synth_pages_df(spark, 30, num_partitions=4)
+    direct = run_pipeline(spark, pages, workdir=None)
+    ck = run_pipeline(spark, pages, workdir=str(tmp_path / "wd"), n_parts=4)
+    assert _rows(ck.phrases) == _rows(direct.phrases)
+    assert _rows(ck.triples) == _rows(direct.triples)
+    assert [m.stage for m in ck.metrics] == ["extracted", "phrases", "triples"]
+
+    # resume: nothing recomputed, outputs identical
+    ck2 = run_pipeline(spark, pages, workdir=str(tmp_path / "wd"), n_parts=4)
+    assert all(m.parts_computed == 0 for m in ck2.metrics)
+    assert _rows(ck2.triples) == _rows(direct.triples)
+    counters = pipeline_counters(ck2)
+    assert counters["documents"] == 30 and counters["triples"] > 0
