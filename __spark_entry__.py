@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Implementation lives in the ``ner_app_spark`` package; this module is the
+thin contract adapter. Operator coverage: SURVEY.md §2 (KG pipeline ops)
+plus the training-data family (dedup / similarity / text quality /
+multimodal plumbing).
 """
 
 from __future__ import annotations
@@ -13,26 +17,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ner_app_spark.oracles import ORACLES
+from ner_app_spark.queries import QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the reference's POST / analyze path at small scale —
+    pages -> byte-identical extract -> mapInPandas phrase extraction ->
+    triple emission (SURVEY.md §3.1), on the deterministic synthetic pages
+    table pinned to sf0.001."""
+    from ner_app_spark.operators.extract import extract_phrases
+    from ner_app_spark.operators.triples import emit_triples
+    from ner_app_spark.sources.pages import morphology_df, synth_pages_df
+
+    pages = synth_pages_df(spark, 60)
+    phrases = extract_phrases(pages, num_partitions=8)
+    return emit_triples(phrases, morphology_df(spark))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator family (SURVEY.md §2)."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query; the kg_*,
+    lsh/simhash-banded and multimodal entries are intentionally absent
+    (non-SQL-expressible: Arrow-batched Python stages / approximate
+    algorithms) -> rows-only check."""
+    return dict(ORACLES)

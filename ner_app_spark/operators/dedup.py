@@ -1,0 +1,239 @@
+"""Deduplication family for training-data pipelines over
+``documents(doc_id, text)``: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+All variants are expressed with engine-portable SQL primitives (explicit
+regex character classes, md5-based hashing, integer arithmetic) so every
+one of them is verifiable against a DuckDB oracle running textually
+different but semantically identical SQL.
+
+Scale notes (100 TB):
+  * exact dedup = hash groupBy on md5(text): map-side partial agg, one
+    shuffle of (hash, doc_id) — never the full text.
+  * MinHash+LSH: per-doc signatures (narrow), bucket join on
+    (band, signature) — candidates only, no all-pairs cross join; verify
+    step computes true Jaccard only on candidates.
+  * SimHash: one pass token explode + two-level agg; fingerprints are 2
+    ints per doc, near-dup search is a bucket join on fingerprint bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .tfidf import TOKEN_SQL_RE
+
+N_MINHASH_BANDS = 6
+
+
+def _tokens_arr(text_col: str = "text") -> str:
+    return f"regexp_extract_all(lower({text_col}), '{TOKEN_SQL_RE}', 0)"
+
+
+def _shingles_expr(n: int, text_col: str = "text") -> str:
+    """Word n-gram shingles as a Spark SQL expression."""
+    arr = _tokens_arr(text_col)
+    parts = ", ".join(f"__arr[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN size({arr}) >= {n} THEN "
+        f"transform(sequence(0, size({arr}) - {n}), i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    ).replace("__arr", f"({arr})")
+
+
+def with_shingles(docs: DataFrame, n: int = 2) -> DataFrame:
+    return docs.select("doc_id", F.expr(_shingles_expr(n)).alias("shingles"))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, text_hash, is_duplicate): duplicate = not the minimum
+    doc_id within its content-hash group (content-addressed identity,
+    reference S2 semantics: /root/reference/src/services/text_service.py:8-15)."""
+    w = Window.partitionBy("text_hash")
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+        .withColumn("is_duplicate", F.col("doc_id") != F.min("doc_id").over(w))
+        .select("doc_id", "text_hash", "is_duplicate")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_shingle: int = 2, n_bands: int = N_MINHASH_BANDS) -> DataFrame:
+    """(doc_id, band, sig): per-band MinHash = lexicographic min of
+    md5(band || '|' || shingle) — md5 is identical across engines, so the
+    signature is portable (unlike xxhash64, which DuckDB lacks)."""
+    sh = with_shingles(docs, n_shingle).filter(F.size("shingles") > 0)
+    out = sh.select(
+        "doc_id",
+        "shingles",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    )
+    return out.select(
+        "doc_id",
+        "band",
+        F.expr(
+            "array_min(transform(shingles, s -> md5(concat(cast(band as string), '|', s))))"
+        ).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(docs: DataFrame, n_shingle: int = 2, n_bands: int = N_MINHASH_BANDS) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: same signature in any band."""
+    sigs = minhash_signatures(docs, n_shingle, n_bands)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, n_shingle: int = 2, min_jaccard: float = 0.05) -> DataFrame:
+    """(doc_a, doc_b, jaccard): true n-gram Jaccard over DISTINCT shingles,
+    computed only for pairs sharing >= 1 shingle (inverted-index join,
+    never an all-pairs cross)."""
+    sh = (
+        with_shingles(docs, n_shingle)
+        .select("doc_id", F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "sh")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _simhash_bit_exprs() -> tuple[str, str]:
+    """Portable 64-bit SimHash from md5 hex digits: digit d at hex position
+    p contributes bits (d>>k)&1 for k in 0..3. Returns (hi, lo) sum
+    expressions over a (token, tf, digit position) exploded frame —
+    generated once, used verbatim by both Spark and DuckDB."""
+    # weight of bit i (= 4*p + k), split into two 32-bit halves
+    hi_terms, lo_terms = [], []
+    for p in range(16):
+        for k in range(4):
+            i = 4 * p + k
+            bit = f"(CAST(floor(d{p} / {1 << k}) AS BIGINT) % 2)"
+            signed = f"SUM(tf * (2 * {bit} - 1))"
+            target = hi_terms if i >= 32 else lo_terms
+            shift = i - 32 if i >= 32 else i
+            term = f"(CASE WHEN {signed} > 0 THEN CAST({1 << shift} AS BIGINT) ELSE 0 END)"
+            target.append(term)
+    return " + ".join(hi_terms), " + ".join(lo_terms)
+
+
+def _hex_digit_col_list() -> list[str]:
+    """d0..d15: integer value of each md5 hex digit of the token —
+    instr-based, available identically in Spark and DuckDB."""
+    return [
+        f"(instr('0123456789abcdef', substr(md5(token), {p + 1}, 1)) - 1) AS d{p}"
+        for p in range(16)
+    ]
+
+
+def _hex_digit_cols() -> str:
+    return ", ".join(_hex_digit_col_list())
+
+
+def simhash_sql(table: str = "documents") -> str:
+    """Engine-portable SQL computing (doc_id, simhash_hi, simhash_lo)."""
+    hi, lo = _simhash_bit_exprs()
+    return f"""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS token
+    FROM {table}
+  ) t
+  GROUP BY doc_id, token
+),
+digits AS (
+  SELECT doc_id, tf, {_hex_digit_cols()}
+  FROM tf
+)
+SELECT doc_id, {hi} AS simhash_hi, {lo} AS simhash_lo
+FROM digits
+GROUP BY doc_id
+"""
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash_hi, simhash_lo): 64-bit SimHash fingerprint in two
+    exact 32-bit halves (ANSI-safe, engine-portable)."""
+    hi, lo = _simhash_bit_exprs()
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(_tokens_arr())).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    digits = tf.selectExpr("doc_id", "tf", *_hex_digit_col_list())
+    return digits.groupBy("doc_id").agg(
+        F.expr(hi).alias("simhash_hi"), F.expr(lo).alias("simhash_lo")
+    )
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance. Banded: pairs must share
+    one of 4 16-bit bands (pigeonhole: any pair within hamming<=3 shares a
+    band; wider distances are best-effort) — avoids the all-pairs cross."""
+    fp = simhash(docs)
+    banded = fp.select(
+        "doc_id",
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(
+            F.array(
+                (F.col("simhash_hi") / (1 << 16)).cast("long"),
+                (F.col("simhash_hi") % (1 << 16) + (1 << 33)).cast("long"),
+                (F.col("simhash_lo") / (1 << 16) + (2 << 33)).cast("long"),
+                (F.col("simhash_lo") % (1 << 16) + (3 << 33)).cast("long"),
+            )
+        ).alias("band_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash_hi").alias("hi_a"),
+        F.col("simhash_lo").alias("lo_a"),
+        "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash_hi").alias("hi_b"),
+        F.col("simhash_lo").alias("lo_b"),
+        "band_val",
+    )
+    return (
+        a.join(b, "band_val")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,134 @@
+"""Text analysis for training-data pipelines over
+``documents(doc_id, text, lang)``: language ID, quality scoring, token
+counting, document fingerprinting. All built from engine-portable
+primitives (SQL-checkable against DuckDB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .tfidf import TOKEN_SQL_RE, tokens
+
+# tiny per-language marker vocabularies (n-gram heuristic lang-ID)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "ru": ("и", "в", "не", "на", "что"),
+}
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens): whitespace-word count — the cheap token meter."""
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_SQL_RE}', 0)")
+        ).cast("bigint").alias("n_tokens"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, marker_hits): argmax of marker-vocabulary hits;
+    cyrillic-dominant text short-circuits to 'ru'. Deterministic tie-break
+    by language code asc."""
+    tok = tokens(docs)
+    scores = None
+    for code, markers in sorted(LANG_MARKERS.items()):
+        in_list = ", ".join(f"'{m}'" for m in markers)
+        s = tok.groupBy("doc_id").agg(
+            F.sum(F.expr(f"CASE WHEN token IN ({in_list}) THEN 1 ELSE 0 END")).alias(
+                "hits"
+            )
+        ).select("doc_id", F.lit(code).alias("cand"), "hits")
+        scores = s if scores is None else scores.unionByName(s)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand"))
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand").alias("lang_pred"), F.col("hits").alias("marker_hits"))
+    )
+    cyr = docs.select(
+        "doc_id",
+        (
+            F.length(F.expr("regexp_replace(lower(text), '[^а-яё]', '')"))
+            > F.length(F.expr("regexp_replace(lower(text), '[^a-z]', '')"))
+        ).alias("is_cyr"),
+    )
+    return best.join(cyr, "doc_id").select(
+        "doc_id",
+        F.when(F.col("is_cyr"), F.lit("ru")).otherwise(F.col("lang_pred")).alias("lang_pred"),
+        "marker_hits",
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len, punct_ratio,
+    stopword_ratio, quality): length/punctuation/stopword heuristics; the
+    score is a pinned arithmetic formula (portable, rounded to 6)."""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{TOKEN_SQL_RE}', 0)"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.length(F.expr("regexp_replace(text, '[^.,;:!?]', '')"))
+        .cast("bigint")
+        .alias("n_punct"),
+    )
+    stops = (
+        tokens(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(f"CASE WHEN token IN ({stop_list}) THEN 1 ELSE 0 END")
+            ).alias("n_stop"),
+            F.sum(F.length("token")).alias("token_chars"),
+        )
+    )
+    out = base.join(stops, "doc_id", "left").fillna(0, ["n_stop", "token_chars"])
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round(
+            F.when(F.col("n_tokens") > 0, F.col("token_chars") / F.col("n_tokens")).otherwise(0.0), 6
+        ).alias("avg_token_len"),
+        F.round(
+            F.when(F.col("n_chars") > 0, F.col("n_punct") / F.col("n_chars")).otherwise(0.0), 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.when(F.col("n_tokens") > 0, F.col("n_stop") / F.col("n_tokens")).otherwise(0.0), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * F.lit(0.5)
+            + F.when(F.col("n_tokens") > 0, F.col("n_stop") / F.col("n_tokens")).otherwise(0.0) * F.lit(0.3)
+            + (
+                F.lit(1.0)
+                - F.least(
+                    F.when(F.col("n_chars") > 0, F.col("n_punct") / F.col("n_chars")).otherwise(0.0) * F.lit(5.0),
+                    F.lit(1.0),
+                )
+            )
+            * F.lit(0.2),
+            6,
+        ).alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, content_fp, prefix_fp): content fingerprint = md5 of the
+    normalized token stream (rolling-hash analog, whitespace-insensitive);
+    prefix_fp = md5 of the first 8 tokens (cheap clustering key)."""
+    arr = f"regexp_extract_all(lower(text), '{TOKEN_SQL_RE}', 0)"
+    return docs.select(
+        "doc_id",
+        F.expr(f"md5(concat_ws(' ', {arr}))").alias("content_fp"),
+        F.expr(f"md5(concat_ws(' ', slice({arr}, 1, 8)))").alias("prefix_fp"),
+    )

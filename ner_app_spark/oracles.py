@@ -1,0 +1,288 @@
+"""DuckDB oracle SQL for every SQL-expressible entry in queries.QUERIES.
+
+The driver runs these against the same parquet tables (pre-registered as
+views) and compares row-count + schema + order-insensitive value-hash
+with the Spark result. Column aliases match the Spark side exactly.
+
+Engine-portability notes: explicit regex character classes (RE2 and Java
+agree), md5-based hashing (xxhash64 has no DuckDB equivalent), DECIMAL
+accumulation for money sums, ROUND(...,6) over libm-dependent ln.
+"""
+
+from __future__ import annotations
+
+from .operators.dedup import N_MINHASH_BANDS, simhash_sql
+from .operators.textquality import LANG_MARKERS, STOPWORDS
+from .operators.tfidf import TOKEN_SQL_RE
+
+_TOK = f"regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')"
+_TOK_CTE = f"SELECT doc_id, unnest({_TOK}) AS token FROM documents"
+
+_TF_CTE = f"""
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM ({_TOK_CTE}) toks
+  GROUP BY doc_id, token
+)"""
+
+_TFIDF_CTE = f"""{_TF_CTE},
+scored AS (
+  SELECT doc_id, token, tf,
+         tf / sqrt(SUM(tf * tf) OVER (PARTITION BY doc_id)) AS tfidf
+  FROM tf
+)"""
+
+_BIGRAM_CTE = f"""
+tok_arr AS (SELECT doc_id, {_TOK} AS arr FROM documents),
+sh_list AS (
+  SELECT doc_id,
+         list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i + 1]) AS shingles
+  FROM tok_arr WHERE len(arr) >= 2
+)"""
+
+_EMB_NORM_CTE = """
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm FROM v)"""
+
+
+def _lang_union() -> str:
+    parts = []
+    for code, markers in sorted(LANG_MARKERS.items()):
+        in_list = ", ".join(f"'{m}'" for m in markers)
+        parts.append(
+            f"SELECT doc_id, '{code}' AS cand, "
+            f"CAST(SUM(CASE WHEN token IN ({in_list}) THEN 1 ELSE 0 END) AS BIGINT) AS hits "
+            f"FROM tok GROUP BY doc_id"
+        )
+    return " UNION ALL ".join(parts)
+
+
+ORACLES: dict[str, str] = {
+    "tf_counts": f"WITH {_TF_CTE} SELECT doc_id, token, tf FROM tf",
+    "tfidf_single_doc": f"WITH {_TFIDF_CTE} SELECT doc_id, token, tf, tfidf FROM scored",
+    "doc_freq_idf": f"""
+WITH {_TF_CTE}
+SELECT token, COUNT(DISTINCT doc_id) AS df,
+       ROUND(ln((1.0 + (SELECT COUNT(DISTINCT doc_id) FROM documents))
+                / (1.0 + COUNT(DISTINCT doc_id))) + 1.0, 6) AS idf
+FROM tf GROUP BY token
+""",
+    "topk_terms": f"""
+WITH {_TFIDF_CTE}
+SELECT doc_id, token, tf, tfidf, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored) t
+WHERE rank <= 10
+""",
+    "doc_stats": f"""
+SELECT doc_id, COUNT(*) AS total_tokens, COUNT(DISTINCT token) AS unique_tokens
+FROM ({_TOK_CTE}) toks GROUP BY doc_id
+""",
+    "sentence_split": r"""
+SELECT doc_id, trim(s) AS sentence FROM (
+  SELECT doc_id,
+         unnest(string_split(
+             regexp_replace(text, '([.!?])\s+', '\1' || chr(10), 'g'),
+             chr(10))) AS s
+  FROM documents) t
+WHERE trim(s) <> ''
+""",
+    "content_hash": "SELECT doc_id, md5(text) AS content_hash FROM documents",
+    "date_format_tz": """
+SELECT event_id,
+       strftime(ts + INTERVAL 10 HOUR, '%H:%M %d.%m.%Y') AS local_ts
+FROM events
+""",
+    "number_clamp": """
+SELECT event_id,
+       least(greatest(round(value / 500.0, 3), 0.0), 1.0) AS clamped
+FROM events
+""",
+    "json_extract": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+    "filter_project": """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'click' AND value > 100.0
+""",
+    "join_natural_key": """
+SELECT n_name AS nation, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "join_remap": """
+SELECT c_nationkey AS nationkey, COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+""",
+    "semi_anti_fk": """
+SELECT 'with_items' AS fk_check, COUNT(*) AS cnt FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+UNION ALL
+SELECT 'without_items' AS fk_check, COUNT(*) AS cnt FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+""",
+    "edge_diff": """
+WITH existing AS (
+  SELECT o_orderkey AS src, 1 AS e FROM orders
+  WHERE o_orderdate < TIMESTAMP '1995-01-01'),
+incoming AS (
+  SELECT o_orderkey AS src, 1 AS i FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1993-01-01')
+SELECT action, COUNT(*) AS cnt FROM (
+  SELECT CASE WHEN e.e IS NULL THEN 'insert'
+              WHEN i.i IS NULL THEN 'delete'
+              ELSE 'keep' END AS action
+  FROM existing e FULL OUTER JOIN incoming i USING (src)) t
+GROUP BY action
+""",
+    "union_dedup": """
+SELECT p_brand, COUNT(*) AS n_parts FROM (
+  SELECT DISTINCT p_partkey, p_brand FROM (
+    SELECT p_partkey, p_brand FROM part WHERE p_size < 20
+    UNION ALL
+    SELECT p_partkey, p_brand FROM part WHERE p_retailprice > 1000) u) d
+GROUP BY p_brand
+""",
+    "summary_counts": """
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+items AS (
+  SELECT o_custkey, COUNT(*) AS n_items
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey)
+SELECT p.o_custkey AS custkey, n_orders, COALESCE(n_items, 0) AS n_items
+FROM per_cust p LEFT JOIN items USING (o_custkey)
+""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "sort_limit3": """
+SELECT event_id, event_type FROM events
+ORDER BY ts ASC, event_id ASC LIMIT 3
+""",
+    "topk_per_group": """
+SELECT o_custkey AS custkey, rank, o_orderkey AS orderkey FROM (
+  SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders) t
+WHERE rank <= 3
+""",
+    "dedup_exact": """
+SELECT doc_id, md5(text) AS text_hash,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents
+""",
+    "minhash_lsh_pairs": f"""
+WITH {_BIGRAM_CTE},
+sig AS (
+  SELECT doc_id, band,
+         list_aggregate(
+             list_transform(shingles,
+                            s -> md5(CAST(band AS VARCHAR) || '|' || s)),
+             'min') AS sig
+  FROM sh_list, (SELECT unnest(range({N_MINHASH_BANDS})) AS band) b)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+""",
+    "jaccard_pairs": f"""
+WITH {_BIGRAM_CTE},
+sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh_list),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i_cnt
+  FROM sh x JOIN sh y ON x.sh = y.sh
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         ROUND(i_cnt / (sa.n_sh + sb.n_sh - i_cnt), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b) t
+WHERE jaccard >= 0.05
+""",
+    "simhash": simhash_sql("documents"),
+    "ann_cosine_topk": f"""
+WITH {_EMB_NORM_CTE},
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         list_dot_product(a.e, b.e) / (a.nm * b.nm) AS cos
+  FROM n a, n b WHERE a.vec_id <> b.vec_id)
+SELECT qid AS vec_id, rank, nid AS neighbor_id FROM (
+  SELECT qid, nid, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM pairs) t
+WHERE rank <= 5
+""",
+    "embedding_near_dup": f"""
+WITH {_EMB_NORM_CTE}
+SELECT vec_a, vec_b, ROUND(cos, 4) AS cos FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.e, b.e) / (a.nm * b.nm) AS cos
+  FROM n a, n b WHERE a.vec_id < b.vec_id) t
+WHERE cos >= 0.35
+""",
+    "token_count": f"""
+SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens FROM documents
+""",
+    "lang_id": f"""
+WITH tok AS ({_TOK_CTE}),
+scores AS ({_lang_union()}),
+best AS (
+  SELECT doc_id, cand AS lang_pred, hits AS marker_hits FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY hits DESC, cand ASC) AS rn
+    FROM scores) t
+  WHERE rn = 1),
+cyr AS (
+  SELECT doc_id,
+         length(regexp_replace(lower(text), '[^а-яё]', '', 'g'))
+           > length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS is_cyr
+  FROM documents)
+SELECT b.doc_id AS doc_id,
+       CASE WHEN is_cyr THEN 'ru' ELSE lang_pred END AS lang_pred,
+       marker_hits
+FROM best b JOIN cyr USING (doc_id)
+""",
+    "quality_score": f"""
+WITH tok AS ({_TOK_CTE}),
+base AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents),
+stops AS (
+  SELECT doc_id,
+         SUM(CASE WHEN token IN ({", ".join(f"'{s}'" for s in STOPWORDS)}) THEN 1 ELSE 0 END) AS n_stop,
+         SUM(length(token)) AS token_chars
+  FROM tok GROUP BY doc_id)
+SELECT b.doc_id AS doc_id, n_chars, n_tokens,
+       ROUND(CASE WHEN n_tokens > 0 THEN COALESCE(token_chars, 0) / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
+       ROUND(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       ROUND(CASE WHEN n_tokens > 0 THEN COALESCE(n_stop, 0) / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+       ROUND(
+         least(n_tokens / 50.0, 1.0) * 0.5
+         + CASE WHEN n_tokens > 0 THEN COALESCE(n_stop, 0) / n_tokens ELSE 0.0 END * 0.3
+         + (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0)) * 0.2,
+         6) AS quality
+FROM base b LEFT JOIN stops USING (doc_id)
+""",
+    "fingerprint": f"""
+WITH tok_arr AS (SELECT doc_id, {_TOK} AS arr FROM documents)
+SELECT doc_id, md5(array_to_string(arr, ' ')) AS content_fp,
+       md5(array_to_string(arr[1:8], ' ')) AS prefix_fp
+FROM tok_arr
+""",
+}

@@ -1,0 +1,83 @@
+"""Replicates the driver's correctness gate: every queries() entry with an
+oracle_sql() runs on Spark AND DuckDB at sf0.01; row counts, column
+names/kinds, and order-insensitive values must match."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from ner_app_spark.oracles import ORACLES
+from ner_app_spark.queries import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # doubles are engineered to be bit-identical; round(12) only
+        # guards against float64<->object round-trips in pandas
+        return round(v, 12)
+    if isinstance(v, int):
+        return int(v)
+    return str(v)
+
+
+def _canon_frame(pdf):
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = sorted(
+        tuple(_canon_value(v) for v in row) for row in pdf.itertuples(index=False)
+    )
+    kinds = {c: pdf[c].dtype.kind for c in cols}
+    return cols, kinds, rows
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_query_matches_duckdb_oracle(spark, duck, name):
+    assert name in QUERIES, f"oracle without query: {name}"
+    got = QUERIES[name](spark, SF_DIR).toPandas()
+    want = duck.execute(ORACLES[name]).df()
+    gc, gk, gr = _canon_frame(got)
+    wc, wk, wr = _canon_frame(want)
+    assert gc == wc, f"columns differ: spark={gc} duck={wc}"
+    assert len(gr) == len(wr), f"row counts differ: spark={len(gr)} duck={len(wr)}"
+    mism = [i for i, (a, b) in enumerate(zip(gr, wr)) if a != b]
+    assert not mism, (
+        f"{len(mism)} mismatched rows; first: spark={gr[mism[0]]} duck={wr[mism[0]]}"
+    )
+
+
+def test_every_query_runs_and_is_nonempty(spark):
+    """Rows-only check for entries without a SQL oracle."""
+    for name, fn in QUERIES.items():
+        if name in ORACLES:
+            continue
+        n = fn(spark, SF_DIR).count()
+        assert n >= 0, name
+        if name not in ("simhash_near_dup",):  # near-dup pairs may be empty
+            assert n > 0, f"{name} returned no rows"
