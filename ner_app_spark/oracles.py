@@ -12,6 +12,7 @@ accumulation for money sums, ROUND(...,6) over libm-dependent ln.
 from __future__ import annotations
 
 from .operators.dedup import N_MINHASH_BANDS, simhash_sql
+from .operators.search import SEARCH_QUERY, query_tokens
 from .operators.textquality import LANG_MARKERS, STOPWORDS
 from .operators.tfidf import TOKEN_SQL_RE
 
@@ -57,7 +58,80 @@ def _lang_union() -> str:
     return " UNION ALL ".join(parts)
 
 
+_QTOKS = sorted(set(query_tokens(SEARCH_QUERY)))
+_QTOK_IN = ", ".join(f"'{t}'" for t in _QTOKS)
+_QTOK_ALT = "|".join(_QTOKS)
+
+_SEARCH_CORPUS_CTE = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT -1 AS doc_id, '{SEARCH_QUERY}' AS text
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS token
+  FROM corpus),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+idf AS (
+  SELECT token,
+         ROUND(ln((1.0 + (SELECT COUNT(DISTINCT doc_id) FROM corpus))
+                  / (1.0 + COUNT(DISTINCT doc_id))) + 1.0, 6) AS idf
+  FROM tf GROUP BY token),
+w AS (SELECT doc_id, tf.token, tf * idf AS w FROM tf JOIN idf USING (token)),
+nm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM w GROUP BY doc_id),
+wn AS (SELECT w.doc_id, token, w / nm AS wn FROM w JOIN nm USING (doc_id))"""
+
 ORACLES: dict[str, str] = {
+    "similar_docs_topk": f"""
+WITH {_SEARCH_CORPUS_CTE},
+cos AS (
+  SELECT d.doc_id, ROUND(SUM(d.wn * q.wn), 6) AS cos
+  FROM wn d JOIN wn q ON d.token = q.token AND q.doc_id = -1
+  WHERE d.doc_id <> -1 GROUP BY d.doc_id)
+SELECT doc_id, rank, cos FROM (
+  SELECT doc_id, cos,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS rank
+  FROM cos WHERE cos > 0) t
+WHERE rank <= 3
+""",
+    "sentence_search": f"""
+WITH split AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(10), 'g'),
+                      chr(10)) AS arr
+  FROM documents),
+sent AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS sent_id,
+         trim(unnest(arr)) AS sentence
+  FROM split),
+toks AS (
+  SELECT doc_id, sent_id,
+         regexp_extract_all(lower(sentence), '{TOKEN_SQL_RE}') AS toks
+  FROM sent WHERE sentence <> ''),
+scored AS (
+  SELECT doc_id, sent_id,
+         CAST(len(list_filter(toks, x -> x IN ({_QTOK_IN}))) AS BIGINT) AS n_hits,
+         ROUND(len(list_filter(toks, x -> x IN ({_QTOK_IN}))) / len(toks), 6) AS score
+  FROM toks
+  WHERE {" AND ".join(f"list_contains(toks, '{t}')" for t in _QTOKS)})
+SELECT doc_id, sent_id, score, rank FROM (
+  SELECT doc_id, sent_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC, sent_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= 10
+""",
+    "highlight_terms": f"""
+SELECT doc_id,
+       regexp_replace(lower(text), '\\b({_QTOK_ALT})\\b',
+                      '<strong>\\1</strong>', 'g') AS highlighted
+FROM documents
+""",
+    "undirected_dedup": """
+SELECT least(l_partkey, l_suppkey) AS a,
+       greatest(l_partkey, l_suppkey) AS b,
+       COUNT(*) AS multiplicity
+FROM lineitem GROUP BY 1, 2
+""",
     "tf_counts": f"WITH {_TF_CTE} SELECT doc_id, token, tf FROM tf",
     "tfidf_single_doc": f"WITH {_TFIDF_CTE} SELECT doc_id, token, tf, tfidf FROM scored",
     "doc_freq_idf": f"""

@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import dedup, graph, similarity, textquality, tfidf
+from .operators import dedup, graph, search, similarity, textquality, tfidf
 from .operators.components import canonicalize
 from .operators.extract import extract_phrases, extracted_text
 from .operators.linking import link_mentions
@@ -246,6 +246,32 @@ def q_topk_per_group(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------- search path (§3.3)
+
+def q_similar_docs_topk(spark, sf_dir):
+    return search.similar_docs_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_sentence_search(spark, sf_dir):
+    return search.sentence_search(_t(spark, sf_dir, "documents"), k=10)
+
+
+def q_highlight_terms(spark, sf_dir):
+    return search.highlight_terms(_t(spark, sf_dir, "documents"))
+
+
+def q_undirected_dedup(spark, sf_dir):
+    return search.undirected_dedup(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", "l_suppkey"
+    )
+
+
+def q_brat_bio(spark, sf_dir):
+    from .sources.brat import brat_bio, synth_brat_df
+
+    return brat_bio(synth_brat_df(spark, 32), num_partitions=4)
+
+
 # ------------------------------------------------------------- dedup family
 
 def q_dedup_exact(spark, sf_dir):
@@ -366,6 +392,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "sort_limit3": q_sort_limit3,
     "topk_per_group": q_topk_per_group,
+    "similar_docs_topk": q_similar_docs_topk,
+    "sentence_search": q_sentence_search,
+    "highlight_terms": q_highlight_terms,
+    "undirected_dedup": q_undirected_dedup,
+    "brat_bio": q_brat_bio,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "jaccard_pairs": q_jaccard_pairs,

@@ -1,0 +1,84 @@
+"""Unit tests for the §3.3 search path and the BRAT/BIO reader."""
+
+from __future__ import annotations
+
+from ner_app_spark.operators.search import (
+    query_tokens,
+    sentence_search,
+    similar_docs_topk,
+    undirected_dedup,
+)
+from ner_app_spark.sources.brat import (
+    brat_bio,
+    parse_ann,
+    synth_brat_df,
+    tokens_to_bio,
+)
+
+
+def test_query_tokens():
+    assert query_tokens("Hash JOIN, a fast scan!") == ["hash", "join", "fast", "scan"]
+
+
+def test_similar_docs_ranks_exact_match_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join fast table scan"),
+            (2, "hash join over the big table"),
+            (3, "nothing relevant here at all"),
+            (4, "fast scan"),
+        ],
+        "doc_id long, text string",
+    )
+    got = similar_docs_topk(docs, "hash join fast table scan", k=3).collect()
+    assert [r["doc_id"] for r in got] == [1, 4, 2]
+    assert got[0]["cos"] > got[1]["cos"] > got[2]["cos"] > 0
+
+
+def test_sentence_search_containment(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join fast table scan here. no match in this one."),
+            (2, "table scan only, hash missing join fast."),
+            (3, "irrelevant text."),
+        ],
+        "doc_id long, text string",
+    )
+    got = sentence_search(docs, "hash join fast table scan", k=10).collect()
+    # doc 1 sentence 0 and doc 2 sentence 0 contain all five tokens
+    assert {(r["doc_id"], r["sent_id"]) for r in got} == {(1, 0), (2, 0)}
+    assert all(r["score"] > 0 for r in got)
+
+
+def test_undirected_dedup_collapses_directions(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 1), (3, 4)], "s long, d long"
+    )
+    got = {(r["a"], r["b"]): r["multiplicity"] for r in
+           undirected_dedup(edges, "s", "d").collect()}
+    assert got == {(1, 2): 3, (3, 4): 1}
+
+
+def test_parse_ann_and_bio_projection():
+    text, ann = "Alice Smith met Berlin .", (
+        "T1\tPERSON 0 11\tAlice Smith\nT2\tCITY 16 22\tBerlin\n"
+    )
+    spans = parse_ann(ann)
+    assert spans == [(0, 11, "PERSON"), (16, 22, "CITY")]
+    toks, labels = tokens_to_bio(text, spans)
+    assert toks == ["Alice", "Smith", "met", "Berlin", "."]
+    assert labels == ["B-PERSON", "I-PERSON", "O", "B-CITY", "O"]
+
+
+def test_brat_bio_spark_matches_local(spark):
+    df = synth_brat_df(spark, 16)
+    got = {r["doc_id"]: (r["tokens"], r["labels"])
+           for r in brat_bio(df, num_partitions=4).collect()}
+    assert len(got) == 16
+    local = df.collect()
+    for row in local:
+        toks, labels = tokens_to_bio(row["text"], parse_ann(row["ann"]))
+        assert got[row["doc_id"]] == (toks, labels)
+    # every doc has two B- entities
+    for toks, labels in got.values():
+        assert sum(1 for l in labels if l.startswith("B-")) == 2
