@@ -78,23 +78,31 @@ def _decode_stub(payload: bytes, kind: str) -> dict:
     return {"width": w, "height": ht, "n_frames": frames, "feature": feats}
 
 
-def decode_features(media: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def decode_features(
+    media: DataFrame,
+    num_partitions: int | None = None,
+    use_real_codec: bool = False,
+) -> DataFrame:
     """media(media_id, kind, payload, mime) -> per-media typed features.
-    Arrow batches in, Arrow batches out; payloads never hit the driver."""
+    Arrow batches in, Arrow batches out; payloads never hit the driver.
+    The deterministic stub decoder is the default; ``use_real_codec=True``
+    is the production hook (raises until a codec is wired in)."""
     if num_partitions:
         media = media.repartition(num_partitions, F.xxhash64("media_id"))
 
     def run(batches) -> Iterator:
         import pandas as pd
 
-        decoder = _try_real_decoder()
+        if use_real_codec:
+            decoder = _try_real_decoder()
+            raise NotImplementedError(
+                "real codec path not wired in this container"
+                if decoder is not None
+                else "no image/audio codec library available"
+            )
         for pdf in batches:
             out = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                if decoder is not None:
-                    raise NotImplementedError(
-                        "real codec path not wired in this container"
-                    )
                 d = _decode_stub(bytes(payload), kind)
                 out.append(
                     {
@@ -129,11 +137,13 @@ def frame_sample(media: DataFrame, every_n: int = 8) -> DataFrame:
 def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic opaque media fixtures (binary payloads + metadata)."""
     kinds = ["image", "audio", "video"]
+    from ..session import local_df
+
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
         payload = hashlib.md5(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
         rows.append((i, kind, payload, f"{kind}/x-fake"))
-    return spark.createDataFrame(
-        rows, "media_id long, kind string, payload binary, mime string"
+    return local_df(
+        spark, rows, "media_id long, kind string, payload binary, mime string"
     )

@@ -66,8 +66,10 @@ def similar_docs_topk(
     to 6 before weighting and the cosine to 6 before ranking so Spark and
     DuckDB produce bit-identical orderings.
     """
+    from ..session import local_df
+
     spark = docs.sparkSession
-    qdf = spark.createDataFrame([(QUERY_DOC_ID, query)], "doc_id long, text string")
+    qdf = local_df(spark, [(QUERY_DOC_ID, query)], "doc_id long, text string")
     corpus = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text").unionByName(qdf)
 
     tf = _tf(corpus)

@@ -147,9 +147,12 @@ def q_semi_anti_fk(spark, sf_dir):
     # J3: FK existence via semi/anti joins
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    from .session import local_df
+
     with_items = o.join(li, "o_orderkey", "left_semi").count()
     without = o.join(li, "o_orderkey", "left_anti").count()
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [("with_items", with_items), ("without_items", without)],
         "fk_check string, cnt long",
     )

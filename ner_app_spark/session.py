@@ -32,6 +32,23 @@ def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def local_df(spark: SparkSession, rows: list, schema: str):
+    """Small driver-local dimension table -> DataFrame via the Arrow path.
+
+    ``createDataFrame(list_of_rows)`` plans a Python-RDD scan: every
+    action re-runs ``defaultParallelism`` Python worker tasks just to
+    re-serialize a few hundred rows — measured ~1-6 s per broadcast
+    rebuild at local[32], the dominant cost of small-dim joins. Routing
+    through pandas + Arrow materializes the rows JVM-side once;
+    coalesce(1) keeps a 700-row dimension from being scheduled as 32
+    tasks."""
+    import pandas as pd
+
+    names = [f.split()[0] for f in schema.split(",")]
+    pdf = pd.DataFrame(list(rows), columns=[n.strip() for n in names])
+    return spark.createDataFrame(pdf, schema=schema).coalesce(1)
+
+
 def get_session(
     app_name: str = "ner-app-spark",
     master: str | None = None,
@@ -42,6 +59,14 @@ def get_session(
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
+    # local-mode shuffle files on tmpfs: /tmp sits on a slow virtio disk
+    # here, and shuffle-block mmap/write syscalls serialize under many
+    # task threads (measured: anti-scaling local[8] -> local[32]). On a
+    # real cluster this is the executors' fast local SSD, not a conf.
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    if os.path.isdir(os.path.dirname(shm) or "/"):
+        os.makedirs(shm, exist_ok=True)
+        conf.setdefault("spark.local.dir", shm)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
     conf["spark.default.parallelism"] = str(cpus)
     if extra_conf:

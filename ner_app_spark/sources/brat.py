@@ -55,8 +55,10 @@ def synth_brat_doc(i: int) -> tuple[str, str]:
 
 
 def synth_brat_df(spark: SparkSession, n_docs: int = 32) -> DataFrame:
+    from ..session import local_df
+
     rows = [(i, *synth_brat_doc(i)) for i in range(n_docs)]
-    return spark.createDataFrame(rows, "doc_id long, text string, ann string")
+    return local_df(spark, rows, "doc_id long, text string, ann string")
 
 
 def parse_ann(ann: str) -> list[tuple[int, int, str]]:

@@ -63,10 +63,13 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
 
 
 def alias_dict_df(spark: SparkSession, seed: int = 42) -> DataFrame:
-    """Entity-linking alias dimension (small: broadcast-joined downstream)."""
+    """Entity-linking alias dimension (small: broadcast-joined downstream).
+    Arrow-local (session.local_df): no Python tasks on re-execution."""
+    from ..session import local_df
     from ..synth import synth_alias_dict
 
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(r["alias"], r["entity_id"], r["canonical_name"]) for r in synth_alias_dict(seed)],
         schema="alias string, entity_id long, canonical_name string",
     )
@@ -74,11 +77,13 @@ def alias_dict_df(spark: SparkSession, seed: int = 42) -> DataFrame:
 
 def morphology_df(spark: SparkSession) -> DataFrame:
     """Frozen morphology dimension (surface, lemma, pos) — bounded
-    vocabulary, broadcast wherever joined (SURVEY.md §4 item 3)."""
+    vocabulary, broadcast wherever joined (SURVEY.md §4 item 3).
+    Arrow-local (session.local_df): no Python tasks on re-execution."""
     from ..morphology import morphology_rows
+    from ..session import local_df
 
-    return spark.createDataFrame(
-        morphology_rows(), schema="surface string, lemma string, pos string"
+    return local_df(
+        spark, morphology_rows(), schema="surface string, lemma string, pos string"
     )
 
 

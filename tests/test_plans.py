@@ -1,0 +1,100 @@
+"""Physical-plan audits: the properties that make the 100 TB plan right.
+
+Each assertion pins a plan shape we rely on at scale; a regression here
+means a silent extra shuffle / lost pushdown / lost broadcast, which
+small-scale correctness tests would never catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ner_app_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    plan = _physical(QUERIES["filter_project"](spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "IsNotNull(event_type)" in plan or "EqualTo(event_type,click)" in plan
+    # column pruning: scan must not read the full events schema
+    assert "props" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_projection_prunes_scan_schema(spark):
+    plan = _physical(QUERIES["content_hash"](spark, SF_DIR))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_dim_join_is_broadcast(spark):
+    plan = _physical(QUERIES["join_natural_key"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_linking_alias_joins_are_broadcast(spark):
+    plan = _physical(QUERIES["kg_links"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pricing_summary_has_partial_aggregation(spark):
+    plan = _physical(QUERIES["pricing_summary"](spark, SF_DIR))
+    # map-side partial + final: two HashAggregate levels around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "WholeStageCodegen" in plan
+
+
+def test_extract_phrases_single_explicit_shuffle(spark):
+    from ner_app_spark.operators.extract import extract_phrases
+    from ner_app_spark.sources.pages import synth_pages_df
+
+    df = extract_phrases(synth_pages_df(spark, 8), num_partitions=4)
+    plan = _physical(df)
+    # exactly the one explicit url-hash exchange; mapInPandas itself must
+    # not introduce another
+    assert plan.count("Exchange") == 1
+    assert "xxhash64" in plan
+    assert "MapInPandas" in plan
+
+
+def test_search_query_side_is_broadcast(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from ner_app_spark.operators.search import similar_docs_topk
+
+    plan = _physical(similar_docs_topk(docs, k=3))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    plan = _optimized(QUERIES["topk_per_group"](spark, SF_DIR))
+    # Spark 4 pushes row_number() <= k as WindowGroupLimit before the sort
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_triples_no_extra_shuffle_after_extract_partitioning(spark):
+    """emit_triples windows partition by (url, ...) — superset of the
+    extract stage's url hash partitioning. The morphology join must be
+    broadcast (map-side), not a shuffle."""
+    from ner_app_spark.operators.extract import extract_phrases
+    from ner_app_spark.operators.triples import emit_triples
+    from ner_app_spark.sources.pages import morphology_df, synth_pages_df
+
+    df = emit_triples(
+        extract_phrases(synth_pages_df(spark, 8), num_partitions=4),
+        morphology_df(spark),
+    )
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
