@@ -37,9 +37,9 @@ def _force(df) -> int:
     return 0
 
 
-def kg_pipeline_counts(spark, n_pages: int) -> dict:
+def kg_pipeline_counts(spark, n_pages: int, n_parts: int | None = None) -> dict:
     """The headline job: synth pages -> extract -> phrases -> triples ->
-    links. Returns counts for throughput math."""
+    links. Returns counts + per-stage walls for throughput math."""
     from ner_app_spark.operators.extract import extract_phrases
     from ner_app_spark.operators.linking import link_mentions
     from ner_app_spark.operators.triples import emit_triples
@@ -49,13 +49,28 @@ def kg_pipeline_counts(spark, n_pages: int) -> dict:
         synth_pages_df,
     )
 
+    n_parts = n_parts or CPUS * 2
+    t0 = time.monotonic()
     pages = synth_pages_df(spark, n_pages)
-    phrases = extract_phrases(pages, num_partitions=CPUS * 2).cache()
+    phrases = extract_phrases(pages, num_partitions=n_parts).cache()
     n_phrases = phrases.count()
+    t1 = time.monotonic()
     n_triples = emit_triples(phrases, morphology_df(spark)).count()
+    t2 = time.monotonic()
     n_links = link_mentions(phrases, alias_dict_df(spark)).count()
+    t3 = time.monotonic()
     phrases.unpersist()
-    return {"docs": n_pages, "phrases": n_phrases, "triples": n_triples, "links": n_links}
+    return {
+        "docs": n_pages,
+        "phrases": n_phrases,
+        "triples": n_triples,
+        "links": n_links,
+        "stage_sec": {
+            "extract": round(t1 - t0, 1),
+            "triples": round(t2 - t1, 1),
+            "links": round(t3 - t2, 1),
+        },
+    }
 
 
 def run_bench() -> dict:
@@ -134,7 +149,7 @@ def run_scaling_child(cores: int, n_pages: int) -> dict:
         shuffle_partitions=cores * 2,
     )
     t0 = time.monotonic()
-    counts = kg_pipeline_counts(spark, n_pages)
+    counts = kg_pipeline_counts(spark, n_pages, n_parts=cores * 2)
     wall = time.monotonic() - t0
     spark.stop()
     return {"cores": cores, "wall_sec": round(wall, 3), **counts}

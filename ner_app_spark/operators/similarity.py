@@ -124,6 +124,95 @@ def near_dup_pairs_cosine(vectors: DataFrame, min_cos: float = 0.95) -> DataFram
     return q.mapInPandas(run, schema="vec_a long, vec_b long, cos double")
 
 
+def ivf_topk(
+    vectors: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 2
+) -> DataFrame:
+    """(vec_id, rank, neighbor_id): IVF approximate top-k.
+
+    Coarse quantizer: the ``n_cells`` lowest vec_ids act as centroid
+    seeds (deterministic stand-in for an offline k-means job — at scale
+    the centroid table is a separately-trained dimension). Every vector
+    is assigned to its nearest centroid cell map-side (one gemm per
+    Arrow batch); each QUERY probes its ``n_probe`` nearest cells. The
+    join is an equi-join on cell id, and ranking happens per cell with
+    a final global window merging the per-cell partials — candidates
+    per query ~ n_probe * N / n_cells.
+    """
+    import numpy as np
+
+    crows = sorted(
+        vectors.select("vec_id", "embedding").orderBy("vec_id").limit(n_cells).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cm = np.array([r["embedding"] for r in crows], dtype=np.float64)
+    cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+    bc = vectors.sparkSession.sparkContext.broadcast(cm)
+
+    def assign(batches) -> Iterator:
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sim = qn @ c.T  # (batch, n_cells)
+            own = sim.argmax(axis=1)
+            # member row (its own cell) + probe rows for the query role
+            probes = np.argsort(-sim, axis=1)[:, :n_probe]
+            out = {"vec_id": [], "cell": [], "role": [], "embedding": []}
+            for i, vid in enumerate(pdf["vec_id"]):
+                emb = pdf["embedding"].iloc[i]
+                out["vec_id"].append(int(vid)); out["cell"].append(int(own[i]))
+                out["role"].append("member"); out["embedding"].append(emb)
+                for p in probes[i]:
+                    out["vec_id"].append(int(vid)); out["cell"].append(int(p))
+                    out["role"].append("query"); out["embedding"].append(emb)
+            yield pd.DataFrame(out)
+
+    def topk_in_cell(pdf):
+        import pandas as pd
+
+        mem = pdf[pdf["role"] == "member"]
+        qry = pdf[pdf["role"] == "query"]
+        if mem.empty or qry.empty:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos": []}).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+            )
+        m = np.array(list(mem["embedding"]), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        q = np.array(list(qry["embedding"]), dtype=np.float64)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        cos = q @ m.T
+        mids = mem["vec_id"].to_numpy(dtype=np.int64)
+        qids = qry["vec_id"].to_numpy(dtype=np.int64)
+        out_q, out_n, out_c = [], [], []
+        for i, qid in enumerate(qids):
+            mask = mids != qid
+            cand, cc = mids[mask], cos[i][mask]
+            order = np.lexsort((cand, -cc))[:k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(cand[order])
+            out_c.extend(cc[order])
+        return pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n, "cos": out_c})
+
+    base = vectors.select("vec_id", "embedding").repartition(
+        _default_parallelism(vectors), "vec_id"
+    )
+    assigned = base.mapInPandas(
+        assign, schema="vec_id long, cell int, role string, embedding array<float>"
+    )
+    partials = assigned.groupBy("cell").applyInPandas(
+        topk_in_cell, schema="vec_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        partials.dropDuplicates(["vec_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", F.col("rank").cast("bigint").alias("rank"), "neighbor_id")
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy RNG state — a
     hash-based construction reproducible anywhere)."""
@@ -142,15 +231,24 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket_topk(
-    vectors: DataFrame, k: int = 5, n_bits: int = 6, dim: int = 64, seed: int = 42
+    vectors: DataFrame,
+    k: int = 5,
+    n_bits: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    n_probe: int = 4,
 ) -> DataFrame:
     """(vec_id, rank, neighbor_id): approximate top-k — candidates limited
-    to the query's random-hyperplane sign bucket.
+    to the query's random-hyperplane sign bucket plus its ``n_probe - 1``
+    multi-probe buckets (flip the lowest-|margin| hyperplane bits — the
+    standard multi-probe LSH trick; single-probe sign-LSH is near-useless
+    on unstructured embeddings where true neighbors sit close to several
+    hyperplanes).
 
     Plan shape (the scale path): bucket signatures are one numpy gemm per
     Arrow batch map-side (``mapInPandas``), then ONE shuffle on bucket and
-    a per-bucket matmul top-k (``applyInPandas``). No pairwise join, no
-    interpreted per-pair expressions. Bucket population is ~N / 2^bits on
+    a per-bucket matmul top-k (``applyInPandas``), with a final window
+    merging per-bucket partials. Bucket population is ~N / 2^bits on
     random data; a skewed bucket would show up as a straggler task —
     raise n_bits (finer buckets) or salt + second-pass merge if so."""
     import numpy as np
@@ -159,36 +257,66 @@ def lsh_bucket_topk(
     weights = np.array([1 << i for i in range(n_bits)], dtype=np.int64)
 
     def assign(batches) -> Iterator:
+        import pandas as pd
+
         for pdf in batches:
             q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            bits = (q @ planes_t) > 0
-            pdf = pdf[["vec_id", "embedding"]].copy()
-            pdf["bucket"] = bits @ weights
-            yield pdf
+            proj = q @ planes_t
+            bits = proj > 0
+            own = (bits @ weights).astype(np.int64)
+            flip_order = np.argsort(np.abs(proj), axis=1)
+            out = {"vec_id": [], "bucket": [], "role": [], "embedding": []}
+            for i, vid in enumerate(pdf["vec_id"]):
+                emb = pdf["embedding"].iloc[i]
+                out["vec_id"].append(int(vid)); out["bucket"].append(int(own[i]))
+                out["role"].append("member"); out["embedding"].append(emb)
+                probes = {int(own[i])}
+                for j in range(min(n_probe - 1, n_bits)):
+                    probes.add(int(own[i]) ^ int(weights[flip_order[i, j]]))
+                for b in sorted(probes):
+                    out["vec_id"].append(int(vid)); out["bucket"].append(b)
+                    out["role"].append("query"); out["embedding"].append(emb)
+            yield pd.DataFrame(out)
 
     def topk(pdf):
         import pandas as pd
 
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        mem = pdf[pdf["role"] == "member"]
+        qry = pdf[pdf["role"] == "query"]
+        if mem.empty or qry.empty:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos": []}).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+            )
+        m = np.array(list(mem["embedding"]), dtype=np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        cos = m @ m.T
-        out_q, out_r, out_n = [], [], []
-        for i, qid in enumerate(ids):
-            mask = ids != qid
-            cand_ids, cand_c = ids[mask], cos[i][mask]
-            order = np.lexsort((cand_ids, -cand_c))[:k]
+        q = np.array(list(qry["embedding"]), dtype=np.float64)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        cos = q @ m.T
+        mids = mem["vec_id"].to_numpy(dtype=np.int64)
+        qids = qry["vec_id"].to_numpy(dtype=np.int64)
+        out_q, out_n, out_c = [], [], []
+        for i, qid in enumerate(qids):
+            mask = mids != qid
+            cand, cc = mids[mask], cos[i][mask]
+            order = np.lexsort((cand, -cc))[:k]
             out_q.extend([qid] * len(order))
-            out_r.extend(range(1, len(order) + 1))
-            out_n.extend(cand_ids[order])
-        return pd.DataFrame({"vec_id": out_q, "rank": out_r, "neighbor_id": out_n})
+            out_n.extend(cand[order])
+            out_c.extend(cc[order])
+        return pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n, "cos": out_c})
 
     base = vectors.select("vec_id", "embedding").repartition(
         _default_parallelism(vectors), "vec_id"
     )
     assigned = base.mapInPandas(
-        assign, schema="vec_id long, embedding array<float>, bucket long"
+        assign, schema="vec_id long, bucket long, role string, embedding array<float>"
     )
-    return assigned.groupBy("bucket").applyInPandas(
-        topk, schema="vec_id long, rank long, neighbor_id long"
+    partials = assigned.groupBy("bucket").applyInPandas(
+        topk, schema="vec_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        partials.dropDuplicates(["vec_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", F.col("rank").cast("bigint").alias("rank"), "neighbor_id")
     )

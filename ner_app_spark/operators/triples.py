@@ -94,9 +94,13 @@ def synonym_triples(phrases: DataFrame) -> DataFrame:
 
 
 def emit_triples(phrases: DataFrame, morph: DataFrame) -> DataFrame:
-    """Full §2.28 spec: union of both families, de-duplicated."""
-    return (
-        intra_phrase_triples(phrases, morph)
-        .unionByName(synonym_triples(phrases))
-        .distinct()
-    )
+    """Full §2.28 spec: union of both families.
+
+    No outer distinct: each family is internally de-duplicated and the
+    two can never collide — intra-phrase preds are POS pattern types
+    while synonym-chain preds are the literal 'synonym', and
+    synonym_triples emits (phrase, phrase) pairs with distinct lead
+    semantics. Dropping the outer distinct removes a full extra shuffle
+    of the whole triple set (the single biggest shuffle in the
+    pipeline at scale)."""
+    return intra_phrase_triples(phrases, morph).unionByName(synonym_triples(phrases))

@@ -241,6 +241,35 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
+    "shipping_priority": """
+SELECT l_orderkey AS orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       o_orderpriority AS orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+""",
+    "local_supplier_volume": """
+SELECT n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate < TIMESTAMP '1995-01-01'
+GROUP BY n_name
+""",
     "sort_limit3": """
 SELECT event_id, event_type FROM events
 ORDER BY ts ASC, event_id ASC LIMIT 3

@@ -222,6 +222,64 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    # TPC-H Q3 shape: 3-way join + agg + top-10 (join order left to
+    # Catalyst; DECIMAL accumulation for cross-engine exactness)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    # TPC-H Q5 shape: 6-way join through region -> nation -> customer /
+    # supplier colocation; small dims broadcast
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
 def q_sort_limit3(spark, sf_dir):
     # O5: ORDER BY ... LIMIT 3 with a total order (ties broken by id)
     return (
@@ -313,6 +371,10 @@ def q_lsh_bucket_topk(spark, sf_dir):
     return similarity.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
 # -------------------------------------------------------------- textquality
 
 def q_token_count(spark, sf_dir):
@@ -393,6 +455,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_dedup": q_union_dedup,
     "summary_counts": q_summary_counts,
     "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
     "sort_limit3": q_sort_limit3,
     "topk_per_group": q_topk_per_group,
     "similar_docs_topk": q_similar_docs_topk,
@@ -408,6 +472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "lsh_bucket_topk": q_lsh_bucket_topk,
+    "ivf_topk": q_ivf_topk,
     "token_count": q_token_count,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,

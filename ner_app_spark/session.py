@@ -25,6 +25,12 @@ DEFAULT_CONF = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    # Task-memory page size: the default scales with heap (~28 MB pages
+    # at 24g/32 cores) and every hash-agg/sort task zeroes whole pages —
+    # measured 6-8x slowdown from allocation churn with many concurrent
+    # tasks on small-to-mid partitions. 4 MB keeps allocation
+    # proportional to actual data.
+    "spark.buffer.pageSize": "4m",
 }
 
 
