@@ -122,6 +122,48 @@ def jaccard_pairs(docs: DataFrame, n_shingle: int = 2, min_jaccard: float = 0.05
     )
 
 
+def near_dup_verified(
+    docs: DataFrame, n_shingle: int = 2, min_jaccard: float = 0.3
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): the production near-dup path — MinHash-LSH
+    candidate generation, then exact Jaccard computed ONLY on candidate
+    pairs (the shingle joins hang off the candidate list, so verify cost
+    is O(candidates x shingles), never the all-pairs inverted index).
+    At 100 TB this is the difference between O(candidates) and
+    O(N^2 / vocabulary) verify cost."""
+    cands = minhash_lsh_candidates(docs, n_shingle)
+    sh = (
+        with_shingles(docs, n_shingle)
+        .select("doc_id", F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cands.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
+        )
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def _simhash_bit_exprs() -> tuple[str, str]:
     """Portable 64-bit SimHash from md5 hex digits: digit d at hex position
     p contributes bits (d>>k)&1 for k in 0..3. Returns (hi, lo) sum

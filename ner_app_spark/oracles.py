@@ -316,6 +316,35 @@ SELECT doc_a, doc_b, jaccard FROM (
   JOIN sizes sb ON sb.doc_id = doc_b) t
 WHERE jaccard >= 0.05
 """,
+    "near_dup_verified": f"""
+WITH {_BIGRAM_CTE},
+sig AS (
+  SELECT doc_id, band,
+         list_aggregate(
+             list_transform(shingles,
+                            s -> md5(CAST(band AS VARCHAR) || '|' || s)),
+             'min') AS sig
+  FROM sh_list, (SELECT unnest(range({N_MINHASH_BANDS})) AS band) b),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id),
+sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh_list),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i_cnt
+  FROM cands c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         ROUND(i_cnt / (sa.n_sh + sb.n_sh - i_cnt), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b) t
+WHERE jaccard >= 0.3
+""",
     "simhash": simhash_sql("documents"),
     "ann_cosine_topk": f"""
 WITH {_EMB_NORM_CTE},

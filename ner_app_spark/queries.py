@@ -347,6 +347,35 @@ def q_jaccard_pairs(spark, sf_dir):
     return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_near_dup_verified(spark, sf_dir):
+    return dedup.near_dup_verified(_t(spark, sf_dir, "documents"), min_jaccard=0.3)
+
+
+def q_graph_merge(spark, sf_dir):
+    # dictionary-merge path (J1/J2/U1/U3): two graphs minted from disjoint
+    # page ranges merged under the target graph id; rows-only check
+    pages = _pages_for(spark, sf_dir)
+    phrases = extract_phrases(pages, num_partitions=8)
+    tgt_ph = phrases.filter(F.xxhash64("url") % 2 == 0)
+    src_ph = phrases.filter(F.xxhash64("url") % 2 != 0)
+    tgt_nodes = graph.mint_nodes(tgt_ph.withColumn("url", F.lit("target")))
+    src_nodes = graph.mint_nodes(src_ph.withColumn("url", F.lit("source")))
+    tgt_edges = spark.createDataFrame([], "graph_id string, src long, dst long, pred string")
+    src_tri = emit_triples(src_ph, morphology_df(spark)).withColumn("url", F.lit("source"))
+    src_edges = graph.mint_edges(src_tri, src_nodes)
+    nodes, edges = graph.merge_graphs(
+        tgt_nodes, tgt_edges, src_nodes, src_edges, "target"
+    )
+    return nodes.groupBy("graph_id").agg(
+        F.count("*").alias("n_nodes"),
+        F.countDistinct("text").alias("n_texts"),
+    ).join(
+        edges.groupBy("graph_id").agg(F.count("*").alias("n_edges")),
+        "graph_id",
+        "left",
+    )
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
@@ -467,6 +496,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "jaccard_pairs": q_jaccard_pairs,
+    "near_dup_verified": q_near_dup_verified,
+    "graph_merge": q_graph_merge,
     "simhash": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "ann_cosine_topk": q_ann_cosine_topk,
