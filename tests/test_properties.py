@@ -1,0 +1,63 @@
+"""Seeded property tests (SURVEY.md §5.6): tokenizer / n-gram invariants
+that must hold for ANY input — the distributed pipeline and the oracle
+share this one implementation (functions/text.py), so pinning it here
+pins both."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ner_app_spark.functions import text as T
+
+ALPHA = "абвгдеж-abcxyz0123456789 .,!?:;()«»\n\t"
+texts = st.text(alphabet=ALPHA, max_size=300)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_tokens_are_wordlike_or_single_punct(s):
+    for tok in T.tokenize(s):
+        assert (
+            re.fullmatch(r"[A-Za-zА-Яа-яёЁ0-9]{2,}(?:-[A-Za-zА-Яа-яёЁ0-9]{2,})*", tok)
+            or (len(tok) == 1 and not tok.isalnum() and not tok.isspace())
+        ), repr(tok)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_ngrams_never_cross_punctuation(s):
+    # every n-gram window consists solely of word-like tokens: punctuation
+    # is a boundary, never bridged (reference tfidf.py:22-35)
+    for g in T.lemma_ngrams(s, 3):
+        for w in g.split(" "):
+            assert T.WORDLIKE_RE.fullmatch(w), repr(g)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_one_char_words_dropped(s):
+    toks = T.tokenize(s)
+    assert not any(len(t) == 1 and t.isalnum() for t in toks)
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts)
+def test_sentence_split_preserves_content(s):
+    # split + strip never invents characters
+    joined = "".join(T.split_sentences(s))
+    stripped = re.sub(r"\s", "", s)
+    assert re.sub(r"\s", "", joined) in stripped or stripped == ""
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts)
+def test_analyze_deterministic_and_sorted(s):
+    from ner_app_spark.oracle import analyze
+
+    a, b = analyze(s), analyze(s)
+    assert a == b
+    keys = [(-p.tfidf, -p.length, p.phrase) for p in a]
+    assert keys == sorted(keys)
