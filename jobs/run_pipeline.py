@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Production launch entrypoint (BASELINE.json: `spark-submit --py-files`).
+
+    cd /root/repo && zip -qr /tmp/ner_app_spark.zip ner_app_spark
+    spark-submit --master local[32] --py-files /tmp/ner_app_spark.zip \
+        jobs/run_pipeline.py --pages 2000 --workdir /tmp/kg_ckpt \
+        --output /tmp/kg_out
+
+On a real cluster the same invocation takes `--master yarn|k8s://...` and
+`--input <parquet/iceberg path>` instead of the synthetic `--pages`; the
+pipeline plan is identical. A killed run re-invoked with the same
+`--workdir` resumes from the per-partition checkpoint manifest with zero
+recomputation of completed parts (plans/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="pages table path (parquet/iceberg)")
+    ap.add_argument("--pages", type=int, default=2000,
+                    help="synthesize N deterministic pages instead of --input")
+    ap.add_argument("--workdir", help="checkpoint root (enables resume)")
+    ap.add_argument("--output", help="write nodes/edges/triples/links here")
+    ap.add_argument("--parts", type=int, default=32)
+    ap.add_argument("--lang", default="ru")
+    ap.add_argument("--min-link-score", type=float, default=0.5)
+    args = ap.parse_args()
+
+    from ner_app_spark.plans.pipeline import (
+        pipeline_counters,
+        run_pipeline,
+        write_outputs,
+    )
+    from ner_app_spark.session import get_session
+    from ner_app_spark.sources.pages import read_pages, synth_pages_df
+
+    spark = get_session(app_name="kg-pipeline")
+    t0 = time.monotonic()
+    pages = (
+        read_pages(spark, args.input) if args.input
+        else synth_pages_df(spark, args.pages)
+    )
+    out = run_pipeline(
+        spark,
+        pages,
+        workdir=args.workdir,
+        n_parts=args.parts,
+        lang=args.lang,
+        min_link_score=args.min_link_score,
+    )
+    counters = pipeline_counters(out)
+    if args.output:
+        write_outputs(out, args.output)
+    wall = round(time.monotonic() - t0, 3)
+    print(json.dumps({
+        "wall_sec": wall,
+        "docs_per_sec": round(counters["documents"] / wall, 2),
+        "triples_per_sec": round(counters["triples"] / wall, 2),
+        **counters,
+        "stages": [m.__dict__ for m in out.metrics],
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

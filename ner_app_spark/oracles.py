@@ -316,6 +316,10 @@ SELECT doc_a, doc_b, jaccard FROM (
   JOIN sizes sb ON sb.doc_id = doc_b) t
 WHERE jaccard >= 0.05
 """,
+    "salted_distinct_count": """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
     "near_dup_verified": f"""
 WITH {_BIGRAM_CTE},
 sig AS (

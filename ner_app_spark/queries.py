@@ -347,6 +347,24 @@ def q_jaccard_pairs(spark, sf_dir):
     return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_salted_distinct_count(spark, sf_dir):
+    # skew-safe countDistinct: two-phase salted aggregation, verified
+    # against the naive SQL form (salting must not change the answer)
+    from .operators.skew import salted_distinct_count
+
+    return salted_distinct_count(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id", n_salts=16,
+        out="n_users",
+    )
+
+
+def q_entity_doc_freq(spark, sf_dir):
+    from .operators.skew import entity_doc_frequency
+
+    phrases = extract_phrases(_pages_for(spark, sf_dir), num_partitions=8)
+    return entity_doc_frequency(phrases)
+
+
 def q_near_dup_verified(spark, sf_dir):
     return dedup.near_dup_verified(_t(spark, sf_dir, "documents"), min_jaccard=0.3)
 
@@ -496,6 +514,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "jaccard_pairs": q_jaccard_pairs,
+    "salted_distinct_count": q_salted_distinct_count,
+    "entity_doc_freq": q_entity_doc_freq,
     "near_dup_verified": q_near_dup_verified,
     "graph_merge": q_graph_merge,
     "simhash": q_simhash,
