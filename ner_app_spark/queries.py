@@ -333,6 +333,12 @@ def q_brat_bio(spark, sf_dir):
     return brat_bio(synth_brat_df(spark, 32), num_partitions=4)
 
 
+def q_subtoken_align(spark, sf_dir):
+    from .sources.brat import bio_to_subtokens, brat_bio, synth_brat_df
+
+    return bio_to_subtokens(brat_bio(synth_brat_df(spark, 32), num_partitions=4))
+
+
 # ------------------------------------------------------------- dedup family
 
 def q_dedup_exact(spark, sf_dir):
@@ -511,6 +517,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "highlight_terms": q_highlight_terms,
     "undirected_dedup": q_undirected_dedup,
     "brat_bio": q_brat_bio,
+    "subtoken_align": q_subtoken_align,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "jaccard_pairs": q_jaccard_pairs,

@@ -95,6 +95,60 @@ def tokens_to_bio(text: str, spans: list[tuple[int, int, str]]) -> tuple[list, l
     return toks, labels
 
 
+MAX_SUBTOKENS = 256
+IGNORE_LABEL = -100
+
+
+def subtokenize(token: str, chunk: int = 4) -> list[str]:
+    """Deterministic BPE-ish stand-in: fixed-width chunks with the HF
+    continuation marker. The real pipeline swaps in a HF tokenizer here
+    (notebook cell 9); the alignment logic below is tokenizer-agnostic."""
+    parts = [token[i : i + chunk] for i in range(0, len(token), chunk)] or [token]
+    return [parts[0]] + ["##" + p for p in parts[1:]]
+
+
+def align_subtoken_labels(
+    tokens: list[str], labels: list[str], max_len: int = MAX_SUBTOKENS
+) -> tuple[list[str], list[int]]:
+    """F12 (notebook cell 9): first subtoken carries the label id, the
+    rest -100; truncate to max_len. Label ids = stable sorted-vocabulary
+    index ('O' -> 0)."""
+    vocab = {"O": 0}
+    for lab in sorted(set(labels)):
+        vocab.setdefault(lab, len(vocab))
+    sub_toks: list[str] = []
+    sub_labels: list[int] = []
+    for tok, lab in zip(tokens, labels):
+        for i, st in enumerate(subtokenize(tok)):
+            sub_toks.append(st)
+            sub_labels.append(vocab[lab] if i == 0 else IGNORE_LABEL)
+    return sub_toks[:max_len], sub_labels[:max_len]
+
+
+def bio_to_subtokens(bio: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """(doc_id, tokens, labels) -> (doc_id, subtokens, label_ids),
+    Arrow-batched — the training-input shaping stage (F12)."""
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "subtokens": [], "label_ids": []}
+            for doc_id, toks, labels in zip(pdf["doc_id"], pdf["tokens"], pdf["labels"]):
+                st, sl = align_subtoken_labels(list(toks), list(labels))
+                out["doc_id"].append(int(doc_id))
+                out["subtokens"].append(st)
+                out["label_ids"].append(sl)
+            yield pd.DataFrame(out)
+
+    if num_partitions:
+        bio = bio.repartition(num_partitions, "doc_id")
+    return bio.mapInPandas(
+        run,
+        schema="doc_id long, subtokens array<string>, label_ids array<int>",
+    )
+
+
 def brat_bio(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """(doc_id, text, ann) -> (doc_id, tokens, labels), Arrow-batched."""
 

@@ -70,6 +70,34 @@ def test_parse_ann_and_bio_projection():
     assert labels == ["B-PERSON", "I-PERSON", "O", "B-CITY", "O"]
 
 
+def test_subtoken_alignment():
+    from ner_app_spark.sources.brat import align_subtoken_labels, subtokenize
+
+    assert subtokenize("Alice") == ["Alic", "##e"]
+    assert subtokenize("met") == ["met"]
+    st, sl = align_subtoken_labels(
+        ["Alice", "met", "Berlin"], ["B-PERSON", "O", "B-CITY"]
+    )
+    assert st == ["Alic", "##e", "met", "Berl", "##in"]
+    # first subtoken carries the label id, continuations get -100
+    assert sl[1] == -100 and sl[4] == -100
+    assert sl[2] == 0  # 'O' is always id 0
+    assert sl[0] != sl[3] and sl[0] > 0 and sl[3] > 0
+
+
+def test_bio_to_subtokens_spark(spark):
+    from ner_app_spark.sources.brat import bio_to_subtokens, brat_bio, synth_brat_df
+
+    rows = bio_to_subtokens(brat_bio(synth_brat_df(spark, 8), num_partitions=2)).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert len(r["subtokens"]) == len(r["label_ids"])
+        assert all(
+            (lid == -100) == st.startswith("##")
+            for st, lid in zip(r["subtokens"], r["label_ids"])
+        )
+
+
 def test_brat_bio_spark_matches_local(spark):
     df = synth_brat_df(spark, 16)
     got = {r["doc_id"]: (r["tokens"], r["labels"])
