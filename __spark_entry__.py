@@ -41,8 +41,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; the kg_*,
-    lsh/simhash-banded and multimodal entries are intentionally absent
-    (non-SQL-expressible: Arrow-batched Python stages / approximate
-    algorithms) -> rows-only check."""
+    """DuckDB-equivalent SQL for every SQL-expressible query (42 of 50).
+    Intentionally absent (rows-only): the kg_* family (Arrow-batched
+    Python stages — each embeds its OWN oracle comparison and raises on
+    mismatch, so the rows-only check can go red), lsh_bucket_topk /
+    ivf_topk (approximate; recall-gated in tests/test_similarity.py), and
+    multimodal_features (stubbed codec)."""
     return dict(ORACLES)

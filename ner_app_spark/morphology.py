@@ -118,11 +118,68 @@ def head_entity_lemmas() -> list[str]:
     return noun_lemmas()[:N_HEAD_ENTITIES]
 
 
+# ---------------------------------------------------------------- OOV
+# pymorphy3 predicts (POS, normal form) for out-of-dictionary words from
+# inflectional suffixes (its KnownSuffixAnalyzer / FakeDictionary units).
+# The frozen provider mirrors that with a deterministic suffix table so
+# REAL Russian text (e.g. /root/reference/text_examples/redhead.txt) still
+# yields POS letters and grouped lemmas — without it every real token is
+# OOV -> '?' -> zero phrases extracted (round-1 VERDICT, "What's missing"
+# item 1). Rules are longest-suffix-first; non-cyrillic stays unknown
+# (pymorphy tags latin LATN / numerals NUMB -> POS None -> '?').
+
+_CYR_RE_CHARS = set("абвгдеёжзийклмнопрстуфхцчшщъыьэюя")
+
+# full-adjective / participle endings -> ADJF, normal form = stem + 'ый'
+_OOV_ADJ_SUFFIXES = (
+    "ыми", "ими", "ого", "его", "ому", "ему",
+    "ая", "яя", "ое", "ее", "ые", "ие", "ый", "ий",
+    "ых", "их", "ым", "им", "ую", "юю",
+)
+# finite/infinitive verb endings -> VERB (pattern letter '?': verbs never
+# participate in live patterns, consts.py:44-51)
+_OOV_VERB_SUFFIXES = (
+    "ться", "тся", "ть", "ает", "яет", "ают", "яют",
+    "ишь", "ешь", "ила", "или", "ило", "ала", "али", "ало", "ил", "ал",
+)
+# noun case endings stripped for the crude normal form (longest first)
+_OOV_NOUN_STRIP = (
+    "иями", "ями", "ами", "иях", "ях", "ах", "иям", "ям", "ам",
+    "ией", "ами", "ией", "ием", "ьях", "ьям",
+    "ии", "ия", "ие", "ию", "ья", "ье", "ью", "ей", "ом", "ем", "ой",
+    "ою", "ею", "ов", "ев",
+    "ы", "и", "е", "у", "ю", "а", "я", "й", "ь",
+)
+
+
+def _is_cyrillic_word(w: str) -> bool:
+    return len(w) >= 3 and all(c in _CYR_RE_CHARS or c == "-" for c in w)
+
+
+@lru_cache(maxsize=65536)
+def predict_oov(w: str) -> tuple[str, str | None]:
+    """(lemma, pos) for a word absent from the frozen dictionary."""
+    if not _is_cyrillic_word(w):
+        return w, None
+    for suf in _OOV_VERB_SUFFIXES:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w, "VERB"
+    for suf in _OOV_ADJ_SUFFIXES:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)] + "ый", "ADJF"
+    for suf in _OOV_NOUN_STRIP:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)], "NOUN"
+    return w, "NOUN"
+
+
 def lemma_of(token: str) -> str:
-    """parse(tok)[0].normal_form analogue (tfidf.py:34 semantics)."""
+    """parse(tok)[0].normal_form analogue (tfidf.py:34 semantics);
+    dictionary hit first, suffix-predicted normal form for OOV cyrillic,
+    identity for latin/digits (pymorphy OOV behaviour)."""
     w = token.lower()
     hit = build_morphology().get(w)
-    return hit[0] if hit else w
+    return hit[0] if hit else predict_oov(w)[0]
 
 
 def pos_of(word: str) -> str | None:
@@ -137,7 +194,8 @@ def pos_of(word: str) -> str | None:
         hit = table.get(last)
         if hit:
             return hit[1]
-    return None
+        return predict_oov(last)[1]
+    return predict_oov(w)[1]
 
 
 def pos_letter(word: str) -> str:

@@ -25,6 +25,15 @@ from .tfidf import TOKEN_SQL_RE
 
 N_MINHASH_BANDS = 6
 
+#: Hot-bucket guard for the LSH band join: a (band, signature) bucket of
+#: size b yields O(b^2) candidate pairs, so one degenerate bucket (every
+#: near-identical boilerplate page hashes to it) dominates the whole job
+#: — this was 53 s of round 1's 106 s headline. Buckets above the cap are
+#: DROPPED, declared, not silent: members this common are stop-shingle
+#: noise, not near-duplicate evidence (a real near-dup pair still meets
+#: in its rarer bands). The DuckDB oracle applies the identical rule.
+MAX_LSH_BUCKET = 64
+
 
 def _tokens_arr(text_col: str = "text") -> str:
     return f"regexp_extract_all(lower({text_col}), '{TOKEN_SQL_RE}', 0)"
@@ -84,9 +93,22 @@ def minhash_signatures(docs: DataFrame, n_shingle: int = 2, n_bands: int = N_MIN
     )
 
 
-def minhash_lsh_candidates(docs: DataFrame, n_shingle: int = 2, n_bands: int = N_MINHASH_BANDS) -> DataFrame:
-    """(doc_a, doc_b) candidate near-dup pairs: same signature in any band."""
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    n_shingle: int = 2,
+    n_bands: int = N_MINHASH_BANDS,
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: same signature in any band,
+    buckets larger than ``max_bucket`` dropped (hot-bucket guard — the
+    O(b^2) blowup cap that makes the band join survive skewed corpora)."""
     sigs = minhash_signatures(docs, n_shingle, n_bands)
+    bw = Window.partitionBy("band", "sig")
+    sigs = (
+        sigs.withColumn("__bsz", F.count("*").over(bw))
+        .filter(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
     a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (
@@ -282,7 +304,7 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
             "doc_b",
             (
                 F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
-            ).alias("hamming"),
+            ).cast("bigint").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

@@ -104,12 +104,20 @@ def dedupe_edges_undirected(edges: DataFrame) -> DataFrame:
     )
 
 
+def node_id_md5(graph_col, text_col, type_col):
+    """Engine-portable mint variant (md5 string ids): DuckDB has no
+    xxhash64, so the oracle-checked merge query mints with md5 — the merge
+    logic itself is hash-agnostic."""
+    return F.md5(F.concat_ws("|", graph_col, text_col, type_col))
+
+
 def merge_graphs(
     target_nodes: DataFrame,
     target_edges: DataFrame,
     source_nodes: DataFrame,
     source_edges: DataFrame,
     target_graph_id,
+    mint=node_id,
 ) -> tuple[DataFrame, DataFrame]:
     """Merge source graph(s) into the target graph (dictionary merge,
     dictionary_service.py:158-241):
@@ -131,7 +139,7 @@ def merge_graphs(
         .dropDuplicates(["text", "type"])
         .select(
             F.lit(target_graph_id).alias("graph_id"),
-            node_id(F.lit(target_graph_id), F.col("text"), F.col("type")).alias("node_id"),
+            mint(F.lit(target_graph_id), F.col("text"), F.col("type")).alias("node_id"),
             "text",
             "type",
             "phrase_type",

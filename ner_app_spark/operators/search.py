@@ -13,9 +13,11 @@ joins instead of driver-side CSR matrices:
   * O6 top-k: rank on (rounded cosine desc, doc_id asc) — rounding first
     makes the order identical across engines' float summation orders.
   * J7 containment filter: /root/reference/src/analysis/tfidf.py:100-123 —
-    a candidate sentence survives only if it contains the full query
-    (lemma-ngram containment in the reference; token AND-containment in
-    the portable SQL form).
+    a top-k candidate sentence survives only if its lemma n-gram list
+    contains ``bound_lemma_analyzer(query)[-1]`` — the LAST generated
+    n-gram, i.e. the query's trailing ``max_n``-gram (for a >=3-token
+    query: its final trigram), contiguously. Filter runs AFTER top-k
+    selection, exactly as the reference iterates ``top_indices``.
   * F8 highlight: /root/reference/src/analysis/utils.py:27-58 — wrap query
     terms in <strong> (static alternation here; the dynamic per-row
     variant needs a pUDF and is presentation-tier).
@@ -41,11 +43,52 @@ from .tfidf import TOKEN_SQL_RE, tokens
 #: documents corpus — see TESTDATA.md)
 SEARCH_QUERY = "hash join fast table scan"
 
+#: sentence-search query: its trailing trigram ("agg hash window") occurs
+#: contiguously in the corpus, so the J7 containment filter (which keeps
+#: only top-k sentences containing that trigram) returns survivors
+SENT_QUERY = "table agg hash window"
+
 QUERY_DOC_ID = -1
 
 
 def query_tokens(query: str = SEARCH_QUERY) -> list[str]:
-    return re.findall("[a-z0-9]{2,}", query.lower())
+    # ascii + cyrillic word tokens (the reference handles Russian text);
+    # the parity queries are ascii so the DuckDB side is unaffected
+    return re.findall("[a-z0-9а-яё]{2,}", query.lower())
+
+
+def with_rank(topk: DataFrame, keys: list[tuple[str, bool]], out: str = "rank") -> DataFrame:
+    """Attach ``rank`` (1-based position under the lexicographic order
+    ``keys`` = [(column, descending)]) WITHOUT a Window node:
+    rank = 1 + |rows sorting strictly before|, via a broadcast
+    nested-loop self-join over the already-``limit(k)``-ed rows.
+
+    Why not ``row_number()``: a global rank needs a partition-less
+    Window, which funnels everything into one task (fatal at scale), and
+    Catalyst constant-folds a ``partitionBy(lit(1))`` dodge right back
+    into the partition-less form. Post-limit the input is <= k rows, so
+    the O(k^2) comparison join is trivial and the plan stays
+    TakeOrderedAndProject + BroadcastNestedLoopJoin — no Window, no
+    single-partition exchange, deterministic under a total order."""
+    right = topk.select(
+        *[F.col(c).alias(f"__r_{c}") for c, _ in keys]
+    )
+    strictly_before = None
+    eq_prefix = None
+    for c, desc in keys:
+        lt = (
+            (F.col(f"__r_{c}") > F.col(c)) if desc else (F.col(f"__r_{c}") < F.col(c))
+        )
+        term = lt if eq_prefix is None else (eq_prefix & lt)
+        strictly_before = term if strictly_before is None else (strictly_before | term)
+        eq = F.col(f"__r_{c}") == F.col(c)
+        eq_prefix = eq if eq_prefix is None else (eq_prefix & eq)
+    first_r = f"__r_{keys[0][0]}"
+    return (
+        topk.join(F.broadcast(right), strictly_before, "left")
+        .groupBy(*topk.columns)
+        .agg((F.count(F.col(first_r)) + F.lit(1)).cast("bigint").alias(out))
+    )
 
 
 def _tf(docs_and_query: DataFrame) -> DataFrame:
@@ -103,27 +146,64 @@ def similar_docs_topk(
         .agg(F.round(F.sum(F.col("wn") * F.col("qw")), 6).alias("cos"))
         .filter(F.col("cos") > 0)
     )
-    rank_w = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
-    return (
-        cos.withColumn("rank", F.row_number().over(rank_w))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", F.col("rank").cast("bigint").alias("rank"), "cos")
+    # global top-k as orderBy().limit(k): plans as TakeOrderedAndProject
+    # (map-side partial top-k, no single-partition funnel of the full
+    # candidate set); rank attached join-wise over the <= k survivors
+    # (with_rank) so no partition-less WindowExec exists anywhere in the
+    # plan (asserted in tests/test_plans.py)
+    topk = cos.orderBy(F.desc("cos"), F.asc("doc_id")).limit(k)
+    return with_rank(topk, [("cos", True), ("doc_id", False)]).select(
+        "doc_id", "rank", "cos"
     )
 
 
-def sentence_search(
-    docs: DataFrame, query: str = SEARCH_QUERY, k: int = 10
-) -> DataFrame:
-    """(doc_id, sent_id, score, rank): sentences containing EVERY query
-    token (J7 AND-containment), scored by query-term density (occurrences
-    of query tokens / sentence length), global top-k.
+def _ngrams_expr(toks_col: str, max_n: int) -> str:
+    """Surface word 1..max_n-grams from a token array column — sklearn
+    ``ngram_range=(1, max_n)`` over the default tokenizer's output."""
+    parts = []
+    for n in range(1, max_n + 1):
+        joined = ", ".join(f"{toks_col}[i + {j}]" for j in range(n))
+        parts.append(
+            f"CASE WHEN size({toks_col}) >= {n} THEN "
+            f"transform(sequence(0, size({toks_col}) - {n}), "
+            f"i -> concat_ws(' ', {joined})) ELSE array() END"
+        )
+    return "concat(" + ", ".join(parts) + ")"
 
-    Sentence split = F6 (``(?<=[.!?])\\s+``); on a punctuation-free corpus
-    each document degenerates to one sentence, which is fine — the plan
-    shape (split -> explode -> posting join -> rank) is what carries to
-    real corpora.
+
+def sentence_search(
+    docs: DataFrame, query: str = SENT_QUERY, k: int = 10, max_n: int = 3
+) -> DataFrame:
+    """(doc_id, sent_id, cos, rank): the reference's §3.3 sentence
+    retrieval (``search_sentences_in_text_with_tfidf``,
+    /root/reference/src/analysis/tfidf.py:93-131), distributed:
+
+      1. sentence split (F6), corpus = all sentences + the query appended
+         as one extra document (``fit_transform(sentences + [query])``);
+      2. featurization over SURFACE-form word 1..3-grams (sklearn default
+         tokenizer — lowercased word runs >= 2 chars — NOT the lemma
+         analyzer phrase search uses: a deliberate reference asymmetry);
+      3. smooth-idf l2-normalized TF-IDF cosine(query, sentence), global
+         top-k by (cos desc, doc_id, sent_id) — expressed as
+         orderBy().limit(k) (TakeOrderedAndProject, no global window);
+      4. J7 containment filter AFTER top-k: a ranked sentence survives
+         only if it contains the query's trailing ``max_n``-gram
+         contiguously (``bound_lemma_analyzer(query)[-1]``,
+         tfidf.py:101,121-123).
+
+    Scale: the idf/norm aggregations shuffle (sentence, ngram) rows once;
+    the query side is one sentence — broadcast; the only global structure
+    is the top-k, which is a partial-top-k reduction, not a sort.
     """
     qtoks = query_tokens(query)
+    spark = docs.sparkSession
+    out_schema = "doc_id long, sent_id long, cos double, rank bigint"
+    if not qtoks:
+        # punctuation-only / non-tokenizable query: empty result, stable
+        # schema (never a None filter — see round-1 ADVICE)
+        return spark.createDataFrame([], out_schema)
+    from ..session import local_df
+
     sent = (
         docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -134,29 +214,74 @@ def sentence_search(
         .withColumn("sentence", F.trim("sentence"))
         .filter(F.col("sentence") != "")
         .withColumn("sent_id", F.col("sent_id").cast("bigint"))
+        .unionByName(
+            local_df(
+                spark,
+                [(QUERY_DOC_ID, QUERY_DOC_ID, query)],
+                "doc_id long, sent_id long, sentence string",
+            )
+        )
         .withColumn(
             "toks",
             F.expr(f"regexp_extract_all(lower(sentence), '{TOKEN_SQL_RE}', 0)"),
         )
     )
-    contains_all = None
-    for t in sorted(set(qtoks)):
-        cond = F.array_contains("toks", t)
-        contains_all = cond if contains_all is None else (contains_all & cond)
-    in_list = ", ".join(f"'{t}'" for t in sorted(set(qtoks)))
-    hits = F.expr(f"size(filter(toks, x -> x IN ({in_list})))")
-    scored = (
-        sent.filter(contains_all)
-        .withColumn("n_hits", hits.cast("bigint"))
-        .withColumn(
-            "score", F.round(F.col("n_hits") / F.size("toks"), 6)
-        )
+    grams = sent.select(
+        "doc_id", "sent_id", F.explode(F.expr(_ngrams_expr("toks", max_n))).alias("g")
     )
-    rank_w = Window.orderBy(F.desc("score"), F.asc("doc_id"), F.asc("sent_id"))
+    tf = grams.groupBy("doc_id", "sent_id", "g").agg(F.count("*").alias("tf"))
+    n_docs = sent.count()  # sentences + the query document
+    idf = (
+        tf.groupBy("g")
+        .agg(F.count("*").alias("df"))  # tf rows are distinct per sentence
+        .withColumn(
+            "idf",
+            F.round(
+                F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df")))
+                + F.lit(1.0),
+                6,
+            ),
+        )
+        .select("g", "idf")
+    )
+    w = tf.join(idf, "g").withColumn("w", F.col("tf") * F.col("idf"))
+    nm = w.groupBy("doc_id", "sent_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm")
+    )
+    wn = w.join(nm, ["doc_id", "sent_id"]).select(
+        "doc_id", "sent_id", "g", (F.col("w") / F.col("nm")).alias("wn")
+    )
+    q = wn.filter(F.col("doc_id") == QUERY_DOC_ID).select(
+        "g", F.col("wn").alias("qw")
+    )
+    cos = (
+        wn.filter(F.col("doc_id") != QUERY_DOC_ID)
+        .join(F.broadcast(q), "g")
+        .groupBy("doc_id", "sent_id")
+        .agg(F.round(F.sum(F.col("wn") * F.col("qw")), 6).alias("cos"))
+    )
+    topk = cos.orderBy(F.desc("cos"), F.asc("doc_id"), F.asc("sent_id")).limit(k)
+    ranked = with_rank(
+        topk, [("cos", True), ("doc_id", False), ("sent_id", False)]
+    ).select("doc_id", "sent_id", "cos", "rank")
+    # J7: trailing max_n-gram containment, checked contiguously on the
+    # token stream (equivalent to membership in the sentence's n-gram list)
+    tail = " ".join(qtoks[-max_n:])
+    has = sent.filter(F.col("doc_id") != QUERY_DOC_ID).select(
+        "doc_id",
+        "sent_id",
+        (
+            F.instr(
+                F.concat(F.lit(" "), F.concat_ws(" ", F.col("toks")), F.lit(" ")),
+                f" {tail} ",
+            )
+            > 0
+        ).alias("has_tail"),
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(rank_w))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", "sent_id", "score", F.col("rank").cast("bigint").alias("rank"))
+        ranked.join(has, ["doc_id", "sent_id"])
+        .filter(F.col("has_tail"))
+        .select("doc_id", "sent_id", "cos", "rank")
     )
 
 

@@ -38,7 +38,14 @@ def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> D
 def _corpus_broadcast(vectors: DataFrame):
     """Collect the corpus to a normalized float64 matrix and broadcast it.
     The corpus side of a brute-force KNN is dimension-like: it must fit in
-    executor memory by construction (otherwise use the LSH/IVF path)."""
+    executor memory by construction (otherwise use the LSH/IVF path).
+
+    NOTE: the collect happens EAGERLY at DataFrame-construction time (a
+    Spark broadcast must be created on the driver before the closure is
+    pickled), so building or explain()-ing a brute-force query executes
+    the corpus scan. This is the declared cost of the exact-oracle
+    variants; the scale paths (lsh_bucket_topk / ivf_topk centroids
+    aside) defer everything to execution."""
     import numpy as np
 
     rows = vectors.select("vec_id", "embedding").collect()
@@ -124,8 +131,32 @@ def near_dup_pairs_cosine(vectors: DataFrame, min_cos: float = 0.95) -> DataFram
     return q.mapInPandas(run, schema="vec_a long, vec_b long, cos double")
 
 
+def _salted_group_topk(assigned: DataFrame, bucket_col: str, fn, n_salts: int) -> DataFrame:
+    """Per-bucket top-k with SALT sub-partitioning (round-1 ADVICE): a
+    plain ``groupBy(bucket).applyInPandas`` materializes an entire bucket
+    (~N / n_buckets rows) as ONE in-memory pandas group in one task — an
+    executor OOM at scale, with parallelism capped at n_buckets. Members
+    are split across ``n_salts`` sub-groups by ``pmod(xxhash64(vec_id))``
+    (data-derived, resume-safe) and queries are replicated to every salt,
+    so per-task memory drops ~n_salts-fold (members_subset x queries) and
+    parallelism rises to n_buckets * n_salts; the caller's final
+    per-query window merges the per-salt partial top-ks."""
+    members = assigned.filter(F.col("role") == "member").withColumn(
+        "__salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salts))
+    )
+    queries = assigned.filter(F.col("role") == "query").withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return (
+        members.unionByName(queries)
+        .groupBy(bucket_col, "__salt")
+        .applyInPandas(fn, schema="vec_id long, neighbor_id long, cos double")
+    )
+
+
 def ivf_topk(
-    vectors: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 2
+    vectors: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 2,
+    n_salts: int = 4,
 ) -> DataFrame:
     """(vec_id, rank, neighbor_id): IVF approximate top-k.
 
@@ -201,9 +232,7 @@ def ivf_topk(
     assigned = base.mapInPandas(
         assign, schema="vec_id long, cell int, role string, embedding array<float>"
     )
-    partials = assigned.groupBy("cell").applyInPandas(
-        topk_in_cell, schema="vec_id long, neighbor_id long, cos double"
-    )
+    partials = _salted_group_topk(assigned, "cell", topk_in_cell, n_salts)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         partials.dropDuplicates(["vec_id", "neighbor_id"])
@@ -237,6 +266,7 @@ def lsh_bucket_topk(
     dim: int = 64,
     seed: int = 42,
     n_probe: int = 4,
+    n_salts: int = 4,
 ) -> DataFrame:
     """(vec_id, rank, neighbor_id): approximate top-k — candidates limited
     to the query's random-hyperplane sign bucket plus its ``n_probe - 1``
@@ -246,11 +276,12 @@ def lsh_bucket_topk(
     hyperplanes).
 
     Plan shape (the scale path): bucket signatures are one numpy gemm per
-    Arrow batch map-side (``mapInPandas``), then ONE shuffle on bucket and
-    a per-bucket matmul top-k (``applyInPandas``), with a final window
-    merging per-bucket partials. Bucket population is ~N / 2^bits on
-    random data; a skewed bucket would show up as a straggler task —
-    raise n_bits (finer buckets) or salt + second-pass merge if so."""
+    Arrow batch map-side (``mapInPandas``), then ONE shuffle on
+    (bucket, salt) and a per-sub-bucket matmul top-k (``applyInPandas``
+    via ``_salted_group_topk`` — members split n_salts ways, queries
+    replicated, per-task memory bounded), with a final window merging the
+    per-salt/per-probe partials. Bucket population is ~N / 2^bits on
+    random data; raise n_bits and/or n_salts as N grows."""
     import numpy as np
 
     planes_t = np.array(_hyperplanes(dim, n_bits, seed), dtype=np.float64).T
@@ -310,9 +341,7 @@ def lsh_bucket_topk(
     assigned = base.mapInPandas(
         assign, schema="vec_id long, bucket long, role string, embedding array<float>"
     )
-    partials = assigned.groupBy("bucket").applyInPandas(
-        topk, schema="vec_id long, neighbor_id long, cos double"
-    )
+    partials = _salted_group_topk(assigned, "bucket", topk, n_salts)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         partials.dropDuplicates(["vec_id", "neighbor_id"])

@@ -34,24 +34,31 @@ def token_count(docs: DataFrame) -> DataFrame:
 def lang_id(docs: DataFrame) -> DataFrame:
     """(doc_id, lang_pred, marker_hits): argmax of marker-vocabulary hits;
     cyrillic-dominant text short-circuits to 'ru'. Deterministic tie-break
-    by language code asc."""
-    tok = tokens(docs)
-    scores = None
-    for code, markers in sorted(LANG_MARKERS.items()):
-        in_list = ", ".join(f"'{m}'" for m in markers)
-        s = tok.groupBy("doc_id").agg(
-            F.sum(F.expr(f"CASE WHEN token IN ({in_list}) THEN 1 ELSE 0 END")).alias(
-                "hits"
-            )
-        ).select("doc_id", F.lit(code).alias("cand"), "hits")
-        scores = s if scores is None else scores.unionByName(s)
-    from pyspark.sql import Window
+    by language code asc.
 
-    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand"))
-    best = (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("cand").alias("lang_pred"), F.col("hits").alias("marker_hits"))
+    Single-pass: ONE aggregation over the token table with a conditional
+    sum per language (5 columns, one shuffle), then a width-5 argmax in
+    the projection — not 5 unioned groupBys (which re-shuffled the token
+    table per language; round-1 VERDICT item 4). The DuckDB oracle keeps
+    its per-language-union form — independent plan, same answer."""
+    codes = sorted(LANG_MARKERS)
+    tok = tokens(docs)
+    hits = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("token").isin(list(LANG_MARKERS[c])), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"__h_{c}")
+            for c in codes
+        ]
+    )
+    mx = F.greatest(*[F.col(f"__h_{c}") for c in codes])
+    pick = F.when(F.col(f"__h_{codes[0]}") == mx, F.lit(codes[0]))
+    for c in codes[1:]:  # first match in code-asc order == tie-break asc
+        pick = pick.when(F.col(f"__h_{c}") == mx, F.lit(c))
+    best = hits.select(
+        "doc_id", pick.alias("lang_pred"), mx.alias("marker_hits")
     )
     cyr = docs.select(
         "doc_id",

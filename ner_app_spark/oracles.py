@@ -11,8 +11,8 @@ accumulation for money sums, ROUND(...,6) over libm-dependent ln.
 
 from __future__ import annotations
 
-from .operators.dedup import N_MINHASH_BANDS, simhash_sql
-from .operators.search import SEARCH_QUERY, query_tokens
+from .operators.dedup import MAX_LSH_BUCKET, N_MINHASH_BANDS, simhash_sql
+from .operators.search import SEARCH_QUERY, SENT_QUERY, query_tokens
 from .operators.textquality import LANG_MARKERS, STOPWORDS
 from .operators.tfidf import TOKEN_SQL_RE
 
@@ -59,8 +59,101 @@ def _lang_union() -> str:
 
 
 _QTOKS = sorted(set(query_tokens(SEARCH_QUERY)))
-_QTOK_IN = ", ".join(f"'{t}'" for t in _QTOKS)
 _QTOK_ALT = "|".join(_QTOKS)
+
+_SENT_TOKS = query_tokens(SENT_QUERY)
+_SENT_TAIL = " ".join(_SENT_TOKS[-3:])
+
+
+def _sql_lit(s: str) -> str:
+    """SQL string literal with tabs/newlines spelled as chr() concats
+    (standard-conforming, no backslash-escape assumptions)."""
+    out = s.replace("'", "''").replace("\t", "\x01").replace("\n", "\x02")
+    out = "'" + out + "'"
+    return out.replace("\x01", "' || chr(9) || '").replace("\x02", "' || chr(10) || '")
+
+
+def _brat_values(n: int = 32) -> str:
+    """The deterministic BRAT corpus INLINED as VALUES rows — the oracle
+    receives the same INPUTS the Spark query synthesizes and performs the
+    token/BIO projection independently in SQL."""
+    from .sources.brat import synth_brat_doc
+
+    rows = []
+    for i in range(n):
+        text, ann = synth_brat_doc(i)
+        rows.append(f"({i}, {_sql_lit(text)}, {_sql_lit(ann)})")
+    return ",\n".join(rows)
+
+
+# Char-offset -> token BIO projection in pure SQL: the synthetic corpus is
+# single-space separated, so token start offsets are the windowed cumsum
+# of len(token)+1 — identical to the regex tokenizer's m.start() there.
+_BRAT_BIO_CTE = f"""
+input(doc_id, text, ann) AS (VALUES {{values}}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM input),
+t AS (SELECT doc_id, CAST(generate_subscripts(arr, 1) AS INT) AS i,
+             unnest(arr) AS tok
+      FROM toks),
+p AS (SELECT doc_id, i, tok,
+        CAST(COALESCE(SUM(length(tok) + 1) OVER (
+            PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS st
+      FROM t),
+lines AS (SELECT doc_id, unnest(string_split(ann, chr(10))) AS line FROM input),
+spans AS (SELECT doc_id,
+            regexp_extract(line, '^T[0-9]+\t([^ ]+) ([0-9]+) ([0-9]+)', 1) AS tag,
+            CAST(regexp_extract(line, '^T[0-9]+\t([^ ]+) ([0-9]+) ([0-9]+)', 2) AS INT) AS s,
+            CAST(regexp_extract(line, '^T[0-9]+\t([^ ]+) ([0-9]+) ([0-9]+)', 3) AS INT) AS e
+          FROM lines WHERE line LIKE 'T%'),
+lab AS (SELECT p.doc_id, p.i, p.tok,
+          COALESCE(MIN(CASE WHEN p.st = sp.s THEN 'B-' || sp.tag
+                            ELSE 'I-' || sp.tag END), 'O') AS lab
+        FROM p LEFT JOIN spans sp
+          ON p.doc_id = sp.doc_id AND p.st >= sp.s
+         AND p.st + length(p.tok) <= sp.e
+        GROUP BY p.doc_id, p.i, p.tok)"""
+
+
+def _brat_bio_sql(n: int = 32) -> str:
+    cte = _BRAT_BIO_CTE.format(values=_brat_values(n))
+    return f"""
+WITH {cte}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       to_json(list(tok ORDER BY i)) AS tokens,
+       to_json(list(lab ORDER BY i)) AS labels
+FROM lab GROUP BY doc_id
+"""
+
+
+def _subtoken_align_sql(n: int = 32) -> str:
+    """F12 alignment replayed in SQL: 4-char '##'-continuation subtokens,
+    first subtoken carries the label id ('O'->0, other labels get dense
+    ids in sorted order), the rest -100; truncated to 256."""
+    cte = _BRAT_BIO_CTE.format(values=_brat_values(n))
+    return f"""
+WITH {cte},
+vocab AS (SELECT doc_id, lab,
+            CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lab) AS INT) AS id
+          FROM (SELECT DISTINCT doc_id, lab FROM lab WHERE lab <> 'O') v),
+chunked AS (SELECT doc_id, i, lab, tok,
+              unnest(range(greatest(CAST(ceil(length(tok) / 4.0) AS BIGINT), 1))) AS c
+            FROM lab),
+sub AS (SELECT ch.doc_id, ch.i, ch.c,
+          CASE WHEN ch.c = 0 THEN substr(ch.tok, 1, 4)
+               ELSE '##' || substr(ch.tok, CAST(ch.c * 4 + 1 AS INT), 4) END AS st,
+          CASE WHEN ch.c = 0 THEN CAST(COALESCE(v.id, 0) AS INT)
+               ELSE CAST(-100 AS INT) END AS lid
+        FROM chunked ch LEFT JOIN vocab v
+          ON ch.doc_id = v.doc_id AND ch.lab = v.lab),
+agg AS (SELECT doc_id, list(st ORDER BY i, c) AS sts,
+               list(lid ORDER BY i, c) AS lids
+        FROM sub GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       to_json(sts[1:256]) AS subtokens,
+       to_json(lids[1:256]) AS label_ids
+FROM agg
+"""
 
 _SEARCH_CORPUS_CTE = f"""
 corpus AS (
@@ -99,26 +192,46 @@ WITH split AS (
          string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(10), 'g'),
                       chr(10)) AS arr
   FROM documents),
-sent AS (
+sent0 AS (
   SELECT doc_id,
          CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS sent_id,
          trim(unnest(arr)) AS sentence
   FROM split),
+sent AS (
+  SELECT doc_id, sent_id, sentence FROM sent0 WHERE sentence <> ''
+  UNION ALL SELECT -1, -1, '{SENT_QUERY}'),
 toks AS (
   SELECT doc_id, sent_id,
          regexp_extract_all(lower(sentence), '{TOKEN_SQL_RE}') AS toks
-  FROM sent WHERE sentence <> ''),
-scored AS (
-  SELECT doc_id, sent_id,
-         CAST(len(list_filter(toks, x -> x IN ({_QTOK_IN}))) AS BIGINT) AS n_hits,
-         ROUND(len(list_filter(toks, x -> x IN ({_QTOK_IN}))) / len(toks), 6) AS score
-  FROM toks
-  WHERE {" AND ".join(f"list_contains(toks, '{t}')" for t in _QTOKS)})
-SELECT doc_id, sent_id, score, rank FROM (
-  SELECT doc_id, sent_id, score,
-         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC, sent_id ASC) AS rank
-  FROM scored) t
-WHERE rank <= 10
+  FROM sent),
+grams AS (
+  SELECT doc_id, sent_id, unnest(flatten([
+    list_transform(range(1, len(toks) + 1), i -> toks[i]),
+    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]),
+    list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+  ])) AS g
+  FROM toks),
+tf AS (SELECT doc_id, sent_id, g, COUNT(*) AS tf FROM grams GROUP BY ALL),
+idf AS (
+  SELECT g, ROUND(ln((1.0 + (SELECT COUNT(*) FROM sent))
+                     / (1.0 + COUNT(*))) + 1.0, 6) AS idf
+  FROM tf GROUP BY g),
+w AS (SELECT doc_id, sent_id, tf.g, tf * idf AS w FROM tf JOIN idf USING (g)),
+nm AS (SELECT doc_id, sent_id, sqrt(SUM(w * w)) AS nm FROM w GROUP BY ALL),
+wn AS (SELECT w.doc_id, w.sent_id, g, w / nm AS wn
+       FROM w JOIN nm USING (doc_id, sent_id)),
+cos AS (
+  SELECT s.doc_id, s.sent_id, ROUND(SUM(s.wn * q.wn), 6) AS cos
+  FROM wn s JOIN wn q ON s.g = q.g AND q.doc_id = -1
+  WHERE s.doc_id <> -1 GROUP BY ALL),
+topk AS (
+  SELECT doc_id, sent_id, cos,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC, sent_id ASC) AS rank
+  FROM cos QUALIFY rank <= 10)
+SELECT t.doc_id, t.sent_id, t.cos, t.rank
+FROM topk t JOIN toks USING (doc_id, sent_id)
+WHERE strpos(' ' || array_to_string(toks, ' ') || ' ', ' {_SENT_TAIL} ') > 0
 """,
     "highlight_terms": f"""
 SELECT doc_id,
@@ -162,7 +275,6 @@ SELECT doc_id, trim(s) AS sentence FROM (
   FROM documents) t
 WHERE trim(s) <> ''
 """,
-    "content_hash": "SELECT doc_id, md5(text) AS content_hash FROM documents",
     "date_format_tz": """
 SELECT event_id,
        strftime(ts + INTERVAL 10 HOUR, '%H:%M %d.%m.%Y') AS local_ts
@@ -171,10 +283,6 @@ FROM events
     "number_clamp": """
 SELECT event_id,
        least(greatest(round(value / 500.0, 3), 0.0), 1.0) AS clamped
-FROM events
-""",
-    "json_extract": """
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
 """,
     "filter_project": """
@@ -274,6 +382,26 @@ GROUP BY n_name
 SELECT event_id, event_type FROM events
 ORDER BY ts ASC, event_id ASC LIMIT 3
 """,
+    "term_sort": f"""
+WITH tok_arr AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS arr FROM documents),
+t AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(arr)),
+                                        i -> arr[i] || ' ' || arr[i + 1])) AS text
+  FROM tok_arr WHERE len(arr) >= 2)
+SELECT head_noun, text, rank FROM (
+  SELECT string_split(text, ' ')[2] AS head_noun, text,
+         ROW_NUMBER() OVER (ORDER BY string_split(text, ' ')[2] ASC, text ASC) AS rank
+  FROM t) x
+WHERE rank <= 100
+""",
+    "dict_sort": """
+SELECT event_id, rank FROM (
+  SELECT event_id,
+         ROW_NUMBER() OVER (ORDER BY ts DESC, event_id ASC) AS rank
+  FROM events) t
+WHERE rank <= 100
+""",
     "topk_per_group": """
 SELECT o_custkey AS custkey, rank, o_orderkey AS orderkey FROM (
   SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (
@@ -288,13 +416,17 @@ FROM documents
 """,
     "minhash_lsh_pairs": f"""
 WITH {_BIGRAM_CTE},
-sig AS (
+sig0 AS (
   SELECT doc_id, band,
          list_aggregate(
              list_transform(shingles,
                             s -> md5(CAST(band AS VARCHAR) || '|' || s)),
              'min') AS sig
-  FROM sh_list, (SELECT unnest(range({N_MINHASH_BANDS})) AS band) b)
+  FROM sh_list, (SELECT unnest(range({N_MINHASH_BANDS})) AS band) b),
+sig AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bsz FROM sig0) t
+  WHERE bsz <= {MAX_LSH_BUCKET})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
 WHERE a.doc_id < b.doc_id
@@ -320,15 +452,55 @@ WHERE jaccard >= 0.05
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 """,
+    "entity_doc_freq": f"""
+SELECT token AS entity, COUNT(DISTINCT doc_id) AS n_docs
+FROM ({_TOK_CTE}) toks GROUP BY token
+""",
+    "graph_merge": f"""
+WITH tok AS ({_TOK_CTE}),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+tgt AS (SELECT token AS text, CAST(SUM(tf) AS DOUBLE) AS tfidf
+        FROM tf WHERE doc_id % 2 = 0 GROUP BY token),
+src AS (SELECT token AS text, CAST(SUM(tf) AS DOUBLE) AS tfidf
+        FROM tf WHERE doc_id % 2 = 1 GROUP BY token),
+merged AS (
+  SELECT 'target' AS graph_id,
+         md5('target|' || text || '|термин') AS node_id,
+         text, 'термин' AS type, tfidf, FALSE AS hidden
+  FROM tgt
+  UNION ALL
+  SELECT 'target', md5('target|' || text || '|термин'), text, 'термин',
+         tfidf, FALSE
+  FROM src WHERE text NOT IN (SELECT text FROM tgt)),
+arrs AS (SELECT regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS arr
+         FROM documents WHERE doc_id % 2 = 1),
+bg AS (SELECT DISTINCT unnest(list_transform(range(1, len(arr)),
+                              i -> arr[i] || ' ' || arr[i + 1])) AS p
+       FROM arrs WHERE len(arr) >= 2),
+edges AS (
+  SELECT DISTINCT
+    md5('target|' || string_split(p, ' ')[1] || '|термин') AS src_id,
+    md5('target|' || string_split(p, ' ')[2] || '|термин') AS dst_id
+  FROM bg),
+deg AS (SELECT src_id AS node_id, COUNT(*) AS out_degree
+        FROM edges GROUP BY src_id)
+SELECT graph_id, m.node_id, text, type, tfidf, hidden,
+       COALESCE(out_degree, 0) AS out_degree
+FROM merged m LEFT JOIN deg ON m.node_id = deg.node_id
+""",
     "near_dup_verified": f"""
 WITH {_BIGRAM_CTE},
-sig AS (
+sig0 AS (
   SELECT doc_id, band,
          list_aggregate(
              list_transform(shingles,
                             s -> md5(CAST(band AS VARCHAR) || '|' || s)),
              'min') AS sig
   FROM sh_list, (SELECT unnest(range({N_MINHASH_BANDS})) AS band) b),
+sig AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bsz FROM sig0) t
+  WHERE bsz <= {MAX_LSH_BUCKET}),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
@@ -350,6 +522,25 @@ SELECT doc_a, doc_b, jaccard FROM (
 WHERE jaccard >= 0.3
 """,
     "simhash": simhash_sql("documents"),
+    "simhash_near_dup": f"""
+WITH fp AS ({simhash_sql("documents")}),
+banded AS (
+  SELECT doc_id, simhash_hi, simhash_lo, unnest([
+    simhash_hi // 65536,
+    simhash_hi % 65536 + 8589934592,
+    simhash_lo // 65536 + 17179869184,
+    simhash_lo % 65536 + 25769803776]) AS band_val
+  FROM fp),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash_hi, b.simhash_hi))
+              + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS BIGINT) AS hamming
+  FROM banded a JOIN banded b USING (band_val)
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 8
+""",
+    "brat_bio": _brat_bio_sql(32),
+    "subtoken_align": _subtoken_align_sql(32),
     "ann_cosine_topk": f"""
 WITH {_EMB_NORM_CTE},
 pairs AS (
@@ -369,9 +560,6 @@ SELECT vec_a, vec_b, ROUND(cos, 4) AS cos FROM (
          list_dot_product(a.e, b.e) / (a.nm * b.nm) AS cos
   FROM n a, n b WHERE a.vec_id < b.vec_id) t
 WHERE cos >= 0.35
-""",
-    "token_count": f"""
-SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens FROM documents
 """,
     "lang_id": f"""
 WITH tok AS ({_TOK_CTE}),

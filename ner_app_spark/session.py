@@ -50,9 +50,36 @@ def local_df(spark: SparkSession, rows: list, schema: str):
     tasks."""
     import pandas as pd
 
-    names = [f.split()[0] for f in schema.split(",")]
-    pdf = pd.DataFrame(list(rows), columns=[n.strip() for n in names])
+    pdf = pd.DataFrame(list(rows), columns=_schema_field_names(schema))
     return spark.createDataFrame(pdf, schema=schema).coalesce(1)
+
+
+def _schema_field_names(schema: str) -> list[str]:
+    """Field names from a DDL schema string, splitting on TOP-LEVEL commas
+    only — ``decimal(18,4)`` / ``map<k,v>`` / struct types contain commas
+    that a naive split would break on."""
+    names: list[str] = []
+    depth = 0
+    field: list[str] = []
+    for ch in schema + ",":
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            names.append("".join(field).strip().split()[0])
+            field = []
+            continue
+        field.append(ch)
+    return names
+
+
+def _free_gib(path: str) -> float:
+    try:
+        st = os.statvfs(path)
+        return st.f_bavail * st.f_frsize / 2**30
+    except OSError:
+        return 0.0
 
 
 def get_session(
@@ -69,8 +96,12 @@ def get_session(
     # here, and shuffle-block mmap/write syscalls serialize under many
     # task threads (measured: anti-scaling local[8] -> local[32]). On a
     # real cluster this is the executors' fast local SSD, not a conf.
+    # Gated on free space (>= 8 GiB) so a large spill never competes with
+    # executor heap for host RAM (round-1 ADVICE) — falls back to the
+    # default local dir otherwise; SPARK_GRAFT_LOCAL_DIR overrides.
     shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
-    if os.path.isdir(os.path.dirname(shm) or "/"):
+    parent = os.path.dirname(shm) or "/"
+    if os.path.isdir(parent) and _free_gib(parent) >= 8.0:
         os.makedirs(shm, exist_ok=True)
         conf.setdefault("spark.local.dir", shm)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)

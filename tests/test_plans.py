@@ -31,7 +31,7 @@ def test_filter_pushdown_reaches_parquet_scan(spark):
 
 
 def test_projection_prunes_scan_schema(spark):
-    plan = _physical(QUERIES["content_hash"](spark, SF_DIR))
+    plan = _physical(QUERIES["fingerprint"](spark, SF_DIR))
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "lang" not in read_schema and "source" not in read_schema
@@ -76,6 +76,61 @@ def test_search_query_side_is_broadcast(spark):
 
     plan = _physical(similar_docs_topk(docs, k=3))
     assert "BroadcastHashJoin" in plan
+
+
+def test_no_partitionless_window_in_any_query(spark):
+    """A Window with no partitionBy funnels ALL rows into one task (Spark
+    warns 'Moving all data to a single partition') — fatal at 100 TB.
+    Global top-k must be orderBy().limit() (TakeOrderedAndProject) and any
+    residual rank window must run post-limit with an explicit partition.
+    Scans every registry entry's physical plan."""
+    def window_groups(line: str, start: int) -> list[str]:
+        # WindowExec prints top-level bracket groups:
+        #   Window [exprs], [partitionSpec], [orderSpec]   (part. + ordered)
+        #   Window [exprs], [partitionSpec]                (part., unordered)
+        #   Window [exprs], [orderSpec]                    (PARTITION-LESS)
+        depth = 0
+        groups: list[str] = []
+        buf: list[str] = []
+        for ch in line[start:]:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    buf = []
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                    continue
+            elif depth == 0:
+                if ch not in ", ":
+                    break
+                continue
+            buf.append(ch)
+        return groups
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        plan = _physical(fn(spark, SF_DIR))
+        for line in plan.splitlines():
+            idx = line.find("Window [")
+            if idx < 0:
+                continue
+            groups = window_groups(line, idx + len("Window "))
+            # partition-less iff the group right after the exprs is an
+            # ORDER spec (ASC/DESC markers) instead of partition columns
+            if len(groups) < 2 or " ASC" in groups[1] or " DESC" in groups[1]:
+                offenders.append((name, line.strip()[:100]))
+    assert not offenders, offenders
+
+
+def test_global_topk_plans_as_take_ordered(spark):
+    """similar_docs_topk / sentence_search global top-k must be a partial
+    top-k reduction (TakeOrderedAndProject), not a global sort."""
+    for name in ("similar_docs_topk", "sentence_search"):
+        plan = _physical(QUERIES[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, name
 
 
 def test_topk_per_group_uses_window_group_limit(spark):

@@ -45,9 +45,19 @@ def test_sentence_search_containment(spark):
         "doc_id long, text string",
     )
     got = sentence_search(docs, "hash join fast table scan", k=10).collect()
-    # doc 1 sentence 0 and doc 2 sentence 0 contain all five tokens
-    assert {(r["doc_id"], r["sent_id"]) for r in got} == {(1, 0), (2, 0)}
-    assert all(r["score"] > 0 for r in got)
+    # reference §3.3 semantics (tfidf.py:100-123): rank by surface-ngram
+    # TF-IDF cosine, then keep only top-k sentences containing the query's
+    # trailing TRIGRAM ('fast table scan') contiguously — doc 1 sentence 0
+    # has it; doc 2 has all five tokens but not the contiguous trigram
+    assert {(r["doc_id"], r["sent_id"]) for r in got} == {(1, 0)}
+    assert all(r["cos"] > 0 and r["rank"] >= 1 for r in got)
+
+
+def test_sentence_search_empty_query_is_empty_frame(spark):
+    docs = spark.createDataFrame([(1, "some text.")], "doc_id long, text string")
+    got = sentence_search(docs, "?!... 7", k=5)
+    assert got.count() == 0
+    assert got.columns == ["doc_id", "sent_id", "cos", "rank"]
 
 
 def test_undirected_dedup_collapses_directions(spark):
