@@ -87,6 +87,82 @@ def run_pipeline(
     )
 
 
+def analysis_sink(phrases: DataFrame, out_dir: str) -> DataFrame:
+    """S2: the reference's content-addressed analysis-JSON sink,
+    distributed (/root/reference/src/services/text_service.py:8-23,
+    src/routers/api.py:22-29). Per document: build the analysis payload
+    {phrases: [{phrase, type, tfidf_score, length}...], total_phrases,
+    unique_phrase_types}, hash it with md5(canonical_json) — byte-exact
+    reference identity — and write ``analysis_{md5}.json`` ONLY if absent
+    (write-iff-absent = idempotent resume). Files are written executor-
+    side inside the Arrow batch pass; the returned frame carries
+    (url, analysis_id, written) for auditing.
+
+    At 100 TB the one groupBy(url) here shares the extract stage's
+    url-hash partitioning (no extra shuffle after repartition); the sink
+    itself is embarrassingly parallel."""
+    import json as _json
+    import os
+
+    from ..functions.jsonhash import json_hash
+
+    os.makedirs(out_dir, exist_ok=True)
+    per_doc = (
+        phrases.groupBy("url")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("phrase", "type", "tfidf", "length"))
+            ).alias("plist")
+        )
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"url": [], "analysis_id": [], "written": []}
+            for url, plist in zip(pdf["url"], pdf["plist"]):
+                payload = {
+                    "phrases": [
+                        {
+                            "phrase": p["phrase"],
+                            "type": p["type"],
+                            "tfidf_score": p["tfidf"],
+                            "length": int(p["length"]),
+                        }
+                        for p in plist
+                    ],
+                    "total_phrases": len(plist),
+                    "unique_phrase_types": len({p["type"] for p in plist}),
+                }
+                h = json_hash(payload)
+                path = os.path.join(out_dir, f"analysis_{h}.json")
+                wrote = False
+                if not os.path.exists(path):  # write-iff-absent (S2)
+                    tmp = path + ".tmp"
+                    with open(tmp, "w", encoding="utf-8") as f:
+                        _json.dump(payload, f, ensure_ascii=False, indent=2)
+                    os.replace(tmp, path)
+                    wrote = True
+                rows["url"].append(url)
+                rows["analysis_id"].append(h)
+                rows["written"].append(wrote)
+            yield pd.DataFrame(rows, columns=["url", "analysis_id", "written"])
+
+    return per_doc.mapInPandas(
+        run, schema="url string, analysis_id string, written boolean"
+    )
+
+
+def read_analysis(spark: SparkSession, out_dir: str, analysis_id: str) -> dict:
+    """S3: analysis source — read back one content-addressed file
+    (text_service.py:25-28)."""
+    import json as _json
+
+    with open(f"{out_dir}/analysis_{analysis_id}.json", encoding="utf-8") as f:
+        return _json.load(f)
+
+
 def write_outputs(out: PipelineOutput, target_dir: str) -> None:
     """Materialize graph tables (production: ``writeTo(...).append()`` on
     an Iceberg catalog; local stand-in: parquet dirs)."""
