@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -299,6 +300,50 @@ def highlight_terms(docs: DataFrame, query: str = SEARCH_QUERY) -> DataFrame:
             "highlighted"
         ),
     )
+
+
+def highlight_phrase_in_sentence(sentence: str, lemma_phrase: str) -> str:
+    """F8, FULL per-row semantics (/root/reference/src/analysis/
+    utils.py:27-58): for every word of the lemmatized phrase, collect the
+    surface forms present in THIS sentence whose lemma matches (falling
+    back to the lemma itself), build an alternation regex joined by
+    ``[\\s\\-,;:]+``, and wrap whole-phrase matches in <strong>
+    (case-insensitive). Alternation order pinned sorted (the reference
+    iterates a set — impl-defined)."""
+    from .. import morphology as M
+
+    words = re.findall(r"\w+", sentence)
+    parts = []
+    for lw in lemma_phrase.split():
+        forms = {w for w in words if M.lemma_of(w) == lw}
+        if not forms:
+            forms = {lw}
+        parts.append("(?:" + "|".join(re.escape(f) for f in sorted(forms)) + ")")
+    pat = r"(\b" + r"[\s\-,;:]+".join(parts) + r"\b)"
+    return re.sub(pat, r"<strong>\1</strong>", sentence, flags=re.IGNORECASE)
+
+
+def highlight_dynamic(
+    df: DataFrame, sentence_col: str = "sentence", phrase_col: str = "phrase"
+) -> DataFrame:
+    """Per-row dynamic highlight as an Arrow-vectorized pandas UDF — the
+    pattern is built from each row's own (sentence, phrase) pair, which
+    ``regexp_replace`` cannot express (static pattern only). Presentation
+    tier: runs after retrieval on the top-k survivors, so the per-row
+    Python regex cost is bounded by k, not corpus size."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def hl(sent: pd.Series, phr: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                highlight_phrase_in_sentence(s, p) if s is not None else None
+                for s, p in zip(sent, phr)
+            ],
+            index=sent.index,
+        )
+
+    return df.withColumn("highlighted", hl(F.col(sentence_col), F.col(phrase_col)))
 
 
 def undirected_dedup(edges: DataFrame, src: str, dst: str) -> DataFrame:

@@ -60,6 +60,31 @@ def test_sentence_search_empty_query_is_empty_frame(spark):
     assert got.columns == ["doc_id", "sent_id", "cos", "rank"]
 
 
+def test_dynamic_highlight_matches_surface_forms(spark):
+    """F8 full semantics (utils.py:27-58): forms of the phrase's lemmas
+    present in the row's own sentence are wrapped, joined across
+    [\\s\\-,;:]+ separators, case-insensitive."""
+    from ner_app_spark import morphology as M
+    from ner_app_spark.operators.search import (
+        highlight_dynamic,
+        highlight_phrase_in_sentence,
+    )
+
+    table = M.build_morphology()
+    lemma = M.noun_lemmas()[0]
+    forms = sorted(s for s, (l, _p) in table.items() if l == lemma)
+    sent = f"Вот {forms[1]}, и ещё {forms[2]}."
+    out = highlight_phrase_in_sentence(sent, lemma)
+    assert f"<strong>{forms[1]}</strong>" in out
+    assert f"<strong>{forms[2]}</strong>" in out
+    # phrase word with no form in the sentence falls back to the lemma
+    assert highlight_phrase_in_sentence("nothing here.", lemma) == "nothing here."
+
+    df = spark.createDataFrame([(sent, lemma)], "sentence string, phrase string")
+    got = highlight_dynamic(df).collect()[0]["highlighted"]
+    assert got == out
+
+
 def test_undirected_dedup_collapses_directions(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 1), (2, 1), (3, 4)], "s long, d long"
