@@ -73,6 +73,14 @@ def kg_pipeline_counts(spark, n_pages: int, n_parts: int | None = None) -> dict:
     }
 
 
+#: min-of-N per headline line: this host is a shared VM with bursty
+#: neighbor load (identical runs vary up to 4x within minutes); the min
+#: estimates machine capability instead of neighbor noise. 2 trials
+#: roughly doubles bench wall (~2 min at sf0.1) — override with
+#: SPARK_GRAFT_BENCH_TRIALS=1 for a quick single pass.
+BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+
+
 def run_bench() -> dict:
     from ner_app_spark.queries import QUERIES
     from ner_app_spark.session import get_session
@@ -82,9 +90,12 @@ def run_bench() -> dict:
     n_pages = max(200, int(PAGES_PER_SF * sf))
     timings: dict[str, float] = {}
 
-    t0 = time.monotonic()
-    counts = kg_pipeline_counts(spark, n_pages)
-    timings["kg_pipeline"] = round(time.monotonic() - t0, 3)
+    kg_walls = []
+    for _ in range(BENCH_TRIALS):
+        t0 = time.monotonic()
+        counts = kg_pipeline_counts(spark, n_pages)
+        kg_walls.append(round(time.monotonic() - t0, 3))
+    timings["kg_pipeline"] = min(kg_walls)
 
     from pyspark.sql import functions as F
 
@@ -119,9 +130,12 @@ def run_bench() -> dict:
         "lang_id": QUERIES["lang_id"],
     }
     for name, fn in headline.items():
-        t0 = time.monotonic()
-        _force(fn(spark, SF_DIR))
-        timings[name] = round(time.monotonic() - t0, 3)
+        walls = []
+        for _ in range(BENCH_TRIALS):
+            t0 = time.monotonic()
+            _force(fn(spark, SF_DIR))
+            walls.append(round(time.monotonic() - t0, 3))
+        timings[name] = min(walls)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -130,6 +144,7 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "trials": BENCH_TRIALS,
         "kg_counts": counts,
         "kg_docs_per_sec": round(counts["docs"] / timings["kg_pipeline"], 2),
         "kg_triples_per_sec": round(counts["triples"] / timings["kg_pipeline"], 2),
