@@ -154,8 +154,14 @@ def run_bench() -> dict:
     return result
 
 
-def run_scaling_child(cores: int, n_pages: int) -> dict:
-    """One fresh-JVM measurement of the KG job at local[cores]."""
+def run_scaling_child(cores: int, n_pages: int, stage: str = "all") -> dict:
+    """One fresh-JVM measurement at local[cores]. stage='all' = the full
+    KG job; stage='extract' = the mapInPandas extract stage only (the
+    compute-dominant fraction — on a real multi-executor cluster every
+    stage ships with its own DRAM/NIC, but on THIS single-box VM the
+    shuffle stages sit on a shared-DRAM ceiling and anti-scale past ~8
+    threads (BENCH.md §1 platform probes), so the extract-only number is
+    the honest proxy for how added executors scale the job)."""
     from ner_app_spark.session import get_session
 
     spark = get_session(
@@ -164,7 +170,16 @@ def run_scaling_child(cores: int, n_pages: int) -> dict:
         shuffle_partitions=cores * 2,
     )
     t0 = time.monotonic()
-    counts = kg_pipeline_counts(spark, n_pages, n_parts=cores * 2)
+    if stage == "extract":
+        from ner_app_spark.operators.extract import extract_phrases
+        from ner_app_spark.sources.pages import synth_pages_df
+
+        n_phrases = extract_phrases(
+            synth_pages_df(spark, n_pages), num_partitions=cores * 2
+        ).count()
+        counts: dict = {"docs": n_pages, "phrases": n_phrases}
+    else:
+        counts = kg_pipeline_counts(spark, n_pages, n_parts=cores * 2)
     wall = time.monotonic() - t0
     spark.stop()
     return {"cores": cores, "wall_sec": round(wall, 3), **counts}
@@ -189,39 +204,60 @@ def run_scaling() -> dict:
     sf = _sf()
     n_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", max(2000, int(400_000 * sf))))
     trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
-    results: dict[int, dict] = {}
-    for cores in (8, 32):
-        runs = []
-        for _ in range(trials):
-            out = subprocess.run(
-                [sys.executable, __file__, "--scaling-child", str(cores), str(n_pages)],
-                capture_output=True,
-                text=True,
-                timeout=3600,
-            )
-            line = out.stdout.strip().splitlines()[-1]
-            runs.append(json.loads(line))
-        best = min(runs, key=lambda r: r["wall_sec"])
-        results[cores] = {**best, "all_trials_sec": [r["wall_sec"] for r in runs]}
+
+    def measure(stage: str, pages: int) -> dict[int, dict]:
+        results: dict[int, dict] = {}
+        for cores in (8, 32):
+            runs = []
+            for _ in range(trials):
+                out = subprocess.run(
+                    [
+                        sys.executable, __file__, "--scaling-child",
+                        str(cores), str(pages), stage,
+                    ],
+                    capture_output=True,
+                    text=True,
+                    timeout=3600,
+                )
+                line = out.stdout.strip().splitlines()[-1]
+                runs.append(json.loads(line))
+            best = min(runs, key=lambda r: r["wall_sec"])
+            results[cores] = {**best, "all_trials_sec": [r["wall_sec"] for r in runs]}
+        return results
+
+    results = measure("all", n_pages)
+    extract = measure("extract", n_pages)
     t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
+    e8, e32 = extract[8]["wall_sec"], extract[32]["wall_sec"]
     docs = results[32]["docs"]
     return {
         "metric": "scaling_efficiency_8_to_32_cores",
         "value": round((t8 / t32) / 4.0, 4),
+        "extract_only_efficiency": round((e8 / e32) / 4.0, 4),
         "unit": "efficiency",
         "sf": sf,
         "scaling_pages": n_pages,
         "trials": trials,
-        "method": "min-of-N wall per level (shared-host noise); compute-dominated input",
+        "method": (
+            "min-of-N wall per level (shared-host noise); full job + "
+            "extract-only (compute fraction — the shuffle stages sit on this "
+            "single box's shared-DRAM ceiling and anti-scale past ~8 threads, "
+            "see BENCH.md platform probes; multi-executor clusters add "
+            "DRAM/NIC per executor)"
+        ),
         "runs": results,
+        "extract_runs": extract,
         "docs_per_sec_8": round(docs / t8, 2),
         "docs_per_sec_32": round(docs / t32, 2),
+        "extract_docs_per_sec_8": round(docs / e8, 2),
+        "extract_docs_per_sec_32": round(docs / e32, 2),
     }
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
-        print(json.dumps(run_scaling_child(int(sys.argv[2]), int(sys.argv[3]))))
+        stage = sys.argv[4] if len(sys.argv) > 4 else "all"
+        print(json.dumps(run_scaling_child(int(sys.argv[2]), int(sys.argv[3]), stage)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
     else:
