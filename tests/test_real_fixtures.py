@@ -50,6 +50,26 @@ GOLDEN = {
         "n_triples": 262,
         "top5": ["билет", "для", "покупк", "или", "пассажир"],
     },
+    # the traffic-rules fixture surfaces its actual domain terms
+    "pdd.txt": {
+        "n_phrases": 1164,
+        "n_types": 7,
+        "n_triples": 1938,
+        "top5": [
+            "средств",
+            "транспортный средств",
+            "правительств",
+            "текст предыдущ редакц",
+            "предыдущ редакц",
+        ],
+    },
+    # 143 KB wiki dump: real multi-word phrases rank at the top
+    "war_and_peace_wiki_dump.txt": {
+        "n_phrases": 4565,
+        "n_types": 7,
+        "n_triples": 6515,
+        "top5": ["войн", "мир", "что", "роман", "войн мир"],
+    },
 }
 
 
