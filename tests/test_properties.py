@@ -61,3 +61,50 @@ def test_analyze_deterministic_and_sorted(s):
     assert a == b
     keys = [(-p.tfidf, -p.length, p.phrase) for p in a]
     assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------- round 2
+
+_CYR = st.text(alphabet="абвгдежзиклмнопрстуфхцчшщыьэюя", min_size=1, max_size=12)
+
+
+@given(_CYR)
+@settings(max_examples=300, deadline=None)
+def test_predict_oov_total_and_deterministic(w):
+    from ner_app_spark import morphology as M
+
+    lemma, pos = M.predict_oov(w)
+    assert lemma and isinstance(lemma, str)
+    assert (lemma, pos) == M.predict_oov(w)  # deterministic
+    if len(w) < 3:
+        assert pos is None  # short words stay unknown ('?')
+    else:
+        assert pos in {"NOUN", "ADJF", "VERB"}
+    # OOV never shadows the frozen dictionary
+    table = M.build_morphology()
+    if w in table:
+        assert M.lemma_of(w) == table[w][0] and M.pos_of(w) == table[w][1]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        min_size=1, max_size=12, unique=True,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_with_rank_matches_python_sort(spark, rows):
+    """rank from the broadcast self-join equals the 1-based position
+    under the lexicographic order (a desc, b asc) for any unique rows."""
+    from ner_app_spark.operators.search import with_rank
+
+    df = spark.createDataFrame(rows, "a long, b long").coalesce(1)
+    got = {
+        (r["a"], r["b"]): r["rank"]
+        for r in with_rank(df, [("a", True), ("b", False)]).collect()
+    }
+    want = {
+        t: i + 1
+        for i, t in enumerate(sorted(set(rows), key=lambda t: (-t[0], t[1])))
+    }
+    assert got == want
