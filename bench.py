@@ -99,7 +99,7 @@ def run_bench() -> dict:
 
     from pyspark.sql import functions as F
 
-    from ner_app_spark.operators import dedup
+    from ner_app_spark.operators import dedup, similarity
 
     def _docs_1k(s):
         # the synthetic word-salad corpus is degenerately self-similar
@@ -121,7 +121,12 @@ def run_bench() -> dict:
         "simhash": QUERIES["simhash"],
         "ann_cosine_topk": QUERIES["ann_cosine_topk"],
         "embedding_near_dup": QUERIES["embedding_near_dup"],
-        "lsh_bucket_topk": QUERIES["lsh_bucket_topk"],
+        # raw operator, not the registry wrapper: the queries() entry now
+        # embeds a recall-vs-bruteforce self-check (driver correctness
+        # machinery), which would double-count the exact path here
+        "lsh_bucket_topk": lambda s, _: similarity.lsh_bucket_topk(
+            s.read.parquet(f"{SF_DIR}/embeddings.parquet"), k=5
+        ),
         "similar_docs_topk": QUERIES["similar_docs_topk"],
         "pricing_summary": QUERIES["pricing_summary"],
         "join_remap": QUERIES["join_remap"],
