@@ -26,13 +26,16 @@ def entry(spark: SparkSession) -> DataFrame:
     pages -> byte-identical extract -> mapInPandas phrase extraction ->
     triple emission (SURVEY.md §3.1), on the deterministic synthetic pages
     table pinned to sf0.001."""
-    from ner_app_spark.operators.extract import extract_phrases
-    from ner_app_spark.operators.triples import emit_triples
-    from ner_app_spark.sources.pages import morphology_df, synth_pages_df
+    from ner_app_spark.operators.extract import (
+        extract_phrases_and_triples,
+        fused_triples,
+    )
+    from ner_app_spark.sources.pages import synth_pages_df
 
     pages = synth_pages_df(spark, 60)
-    phrases = extract_phrases(pages, num_partitions=8)
-    return emit_triples(phrases, morphology_df(spark))
+    # production shape: ONE fused Arrow-batch stage emits phrases AND
+    # triples (per-doc local); no shuffle between the two
+    return fused_triples(extract_phrases_and_triples(pages, num_partitions=8))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

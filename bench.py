@@ -38,28 +38,34 @@ def _force(df) -> int:
 
 
 def kg_pipeline_counts(spark, n_pages: int, n_parts: int | None = None) -> dict:
-    """The headline job: synth pages -> extract -> phrases -> triples ->
-    links. Returns counts + per-stage walls for throughput math."""
-    from ner_app_spark.operators.extract import extract_phrases
-    from ner_app_spark.operators.linking import link_mentions
-    from ner_app_spark.operators.triples import emit_triples
-    from ner_app_spark.sources.pages import (
-        alias_dict_df,
-        morphology_df,
-        synth_pages_df,
+    """The headline job: synth pages -> fused extract (phrases AND triples
+    emitted in the SAME Arrow batch — triples are per-doc local, so fusing
+    deletes the posexplode/window shuffle that dominated earlier rounds)
+    -> links. Returns counts + per-stage walls for throughput math.
+
+    Stage walls: 'extract' materializes the whole fused frame (phrases +
+    triples compute), 'triples' is the cached triple-row count, 'links'
+    the linking join tree."""
+    from pyspark.sql import functions as F
+
+    from ner_app_spark.operators.extract import (
+        extract_phrases_and_triples,
+        fused_phrases,
     )
+    from ner_app_spark.operators.linking import link_mentions
+    from ner_app_spark.sources.pages import alias_dict_df, synth_pages_df
 
     n_parts = n_parts or CPUS * 2
     t0 = time.monotonic()
     pages = synth_pages_df(spark, n_pages)
-    phrases = extract_phrases(pages, num_partitions=n_parts).cache()
-    n_phrases = phrases.count()
+    fused = extract_phrases_and_triples(pages, num_partitions=n_parts).cache()
+    n_phrases = fused.filter(F.col("kind") == "phrase").count()
     t1 = time.monotonic()
-    n_triples = emit_triples(phrases, morphology_df(spark)).count()
+    n_triples = fused.filter(F.col("kind") == "triple").count()
     t2 = time.monotonic()
-    n_links = link_mentions(phrases, alias_dict_df(spark)).count()
+    n_links = link_mentions(fused_phrases(fused), alias_dict_df(spark)).count()
     t3 = time.monotonic()
-    phrases.unpersist()
+    fused.unpersist()
     return {
         "docs": n_pages,
         "phrases": n_phrases,
@@ -90,8 +96,16 @@ def run_bench() -> dict:
     n_pages = max(200, int(PAGES_PER_SF * sf))
     timings: dict[str, float] = {}
 
+    # untimed warmup: a ~100-page pipeline pass so trial 1 does not pay
+    # Python-worker spin-up / codegen classloading (round-2 VERDICT #3 —
+    # the driver's first trial was timing cold workers, not the job)
+    kg_pipeline_counts(spark, 100)
+    # the flagship gets 3 trials (min-of-3) unless quick mode (TRIALS=1)
+    kg_trials = int(
+        os.environ.get("SPARK_GRAFT_KG_TRIALS", "3" if BENCH_TRIALS > 1 else "1")
+    )
     kg_walls = []
-    for _ in range(BENCH_TRIALS):
+    for _ in range(kg_trials):
         t0 = time.monotonic()
         counts = kg_pipeline_counts(spark, n_pages)
         kg_walls.append(round(time.monotonic() - t0, 3))
@@ -117,7 +131,12 @@ def run_bench() -> dict:
         "topk_terms": QUERIES["topk_terms"],
         "doc_freq_idf": QUERIES["doc_freq_idf"],
         "minhash_lsh_pairs_1k": lambda s, _: dedup.minhash_lsh_candidates(_docs_1k(s)),
-        "jaccard_pairs_1k": lambda s, _: dedup.jaccard_pairs(_docs_1k(s)),
+        # the PRODUCTION near-dup shape (Jaccard verify on LSH candidates
+        # only); the quadratic all-pairs jaccard_pairs stays registry-only
+        # as the declared exactness oracle (round-2 VERDICT #8)
+        "near_dup_verified_1k": lambda s, _: dedup.near_dup_verified(
+            _docs_1k(s), min_jaccard=0.3
+        ),
         "simhash": QUERIES["simhash"],
         "ann_cosine_topk": QUERIES["ann_cosine_topk"],
         "embedding_near_dup": QUERIES["embedding_near_dup"],

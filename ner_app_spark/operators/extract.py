@@ -57,6 +57,23 @@ EXTRACTED_SCHEMA = StructType(
     ]
 )
 
+#: union row type for the fused analyze pass: kind='phrase' rows carry the
+#: phrase columns (triple columns null), kind='triple' rows the reverse.
+FUSED_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("kind", StringType(), False),  # phrase | triple
+        StructField("phrase", StringType(), True),
+        StructField("type", StringType(), True),
+        StructField("tfidf", DoubleType(), True),
+        StructField("length", IntegerType(), True),
+        StructField("head_noun", StringType(), True),
+        StructField("subj", StringType(), True),
+        StructField("pred", StringType(), True),
+        StructField("obj", StringType(), True),
+    ]
+)
+
 
 def extracted_text(pages: DataFrame) -> DataFrame:
     """(url, extracted, lang): boilerplate-stripped text, byte-identical
@@ -99,6 +116,77 @@ def _analyze_batches(batches) -> Iterator:
                 rows["length"].append(p.length)
                 rows["head_noun"].append(p.head_noun)
         yield pd.DataFrame({"url": urls, **rows})
+
+
+def _analyze_fused_batches(batches) -> Iterator:
+    """Arrow-batched analyze emitting BOTH phrases and triples per doc.
+
+    Triple emission is per-document local (both §2.28 rule families group
+    within one url — the vendored oracle computes them in plain Python per
+    doc, ner_app_spark/oracle.py triples_for_doc), so computing triples in
+    the SAME Arrow batch as the phrases deletes the pipeline's dominant
+    shuffle: the declarative formulation (operators/triples.py) explodes
+    phrases to words and re-aggregates through windows keyed on
+    (url, phrase) — a full shuffle of ~10x the phrase volume that
+    anti-scales on shuffle-bound hosts. operators/triples.emit_triples
+    stays as the independent declarative variant; the kg_triples registry
+    self-check and tests/test_fused.py pin that both emit the identical
+    triple set."""
+    import pandas as pd
+
+    from ..oracle import analyze, triples_for_doc
+
+    cols = [
+        "url", "kind", "phrase", "type", "tfidf", "length", "head_noun",
+        "subj", "pred", "obj",
+    ]
+    for pdf in batches:
+        rows: list[tuple] = []
+        for url, text in zip(pdf["url"], pdf["text"]):
+            phrases = analyze(text)
+            for p in phrases:
+                rows.append(
+                    (url, "phrase", p.phrase, p.type, p.tfidf, p.length,
+                     p.head_noun, None, None, None)
+                )
+            for (_u, s, pr, o) in triples_for_doc(url, phrases):
+                rows.append(
+                    (url, "triple", None, None, None, None, None, s, pr, o)
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_phrases_and_triples(
+    pages: DataFrame,
+    lang: str = "ru",
+    num_partitions: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """pages -> fused (url, kind, phrase..., subj/pred/obj) rows: the
+    map-side-fused flagship stage. Split with fused_phrases/fused_triples.
+    Same gates and partitioning contract as extract_phrases."""
+    docs = pages.filter(F.col("lang") == lang).filter(F.length(F.col(text_col)) > 0)
+    docs = docs.select("url", F.col(text_col).alias("text"))
+    if num_partitions:
+        docs = docs.repartition(num_partitions, F.xxhash64("url"))
+    return docs.mapInPandas(_analyze_fused_batches, schema=FUSED_SCHEMA)
+
+
+def fused_phrases(fused: DataFrame) -> DataFrame:
+    """phrase rows of a fused frame, PHRASE_SCHEMA-shaped."""
+    return fused.filter(F.col("kind") == "phrase").select(
+        "url", "phrase", "type",
+        F.col("tfidf").cast("double").alias("tfidf"),
+        F.col("length").cast("int").alias("length"),
+        "head_noun",
+    )
+
+
+def fused_triples(fused: DataFrame) -> DataFrame:
+    """triple rows of a fused frame: (url, subj, pred, obj)."""
+    return fused.filter(F.col("kind") == "triple").select(
+        "url", "subj", "pred", "obj"
+    )
 
 
 def extract_phrases(

@@ -17,11 +17,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.components import canonicalize
-from ..operators.extract import extract_phrases, extracted_text
+from ..operators.extract import (
+    extract_phrases_and_triples,
+    extracted_text,
+    fused_phrases,
+    fused_triples,
+)
 from ..operators.graph import mint_edges, mint_nodes
 from ..operators.linking import link_mentions
-from ..operators.triples import emit_triples
-from ..sources.pages import alias_dict_df, morphology_df
+from ..sources.pages import alias_dict_df
 from .checkpoint import CheckpointManager, StageMetrics
 
 
@@ -58,15 +62,19 @@ def run_pipeline(
         return out
 
     extracted = stage("extracted", extracted_text(pages), key="url")
-    phrases = stage(
-        "phrases",
-        extract_phrases(
+    # ONE fused mapInPandas stage emits phrases AND triples (triples are
+    # per-doc local, oracle.triples_for_doc) — no posexplode/window shuffle
+    # between them; emit_triples stays as the declarative SQL-checkable
+    # variant (equivalence pinned in tests/test_fused.py)
+    fused = stage(
+        "analysis",
+        extract_phrases_and_triples(
             extracted, lang=lang, num_partitions=n_parts, text_col="extracted"
         ),
         key="url",
     )
-    morph = morphology_df(spark)
-    triples = stage("triples", emit_triples(phrases, morph), key="url")
+    phrases = fused_phrases(fused)
+    triples = fused_triples(fused)
 
     links = link_mentions(
         phrases, alias_dict_df(spark), min_score=min_link_score

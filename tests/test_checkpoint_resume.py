@@ -72,7 +72,7 @@ def test_pipeline_checkpointed_equals_direct(spark, tmp_path):
     ck = run_pipeline(spark, pages, workdir=str(tmp_path / "wd"), n_parts=4)
     assert _rows(ck.phrases) == _rows(direct.phrases)
     assert _rows(ck.triples) == _rows(direct.triples)
-    assert [m.stage for m in ck.metrics] == ["extracted", "phrases", "triples"]
+    assert [m.stage for m in ck.metrics] == ["extracted", "analysis"]
 
     # resume: nothing recomputed, outputs identical
     ck2 = run_pipeline(spark, pages, workdir=str(tmp_path / "wd"), n_parts=4)
