@@ -46,8 +46,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (42 of 50).
     Intentionally absent (rows-only): the kg_* family (Arrow-batched
-    Python stages — each embeds its OWN oracle comparison and raises on
-    mismatch, so the rows-only check can go red), lsh_bucket_topk /
-    ivf_topk (approximate; recall-gated in tests/test_similarity.py), and
-    multimodal_features (stubbed codec)."""
+    Python stages), lsh_bucket_topk / ivf_topk (approximate), and
+    multimodal_features (binary payloads). Every one of the 8 rows-only
+    entries embeds its OWN in-query oracle comparison with a raise_error
+    branch (fingerprint-vs-vendored-oracle, recall-vs-exact, CC
+    invariants, payload-recompute), so each can go RED, not just
+    rows-only-pass."""
     return dict(ORACLES)

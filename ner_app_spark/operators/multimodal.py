@@ -62,20 +62,69 @@ def _try_real_decoder():
         return None
 
 
-def _decode_stub(payload: bytes, kind: str) -> dict:
-    """Deterministic fake decode: dimensions and a FEATURE_DIM-float
-    feature vector derived from md5(payload). Marked stub — replace with
-    the real codec via _try_real_decoder()."""
-    h = hashlib.md5(payload).digest()
-    w = 64 + h[0] % 192
-    ht = 64 + h[1] % 192
-    frames = 1 if kind == "image" else 1 + h[2] % 32
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png_header(payload: bytes) -> dict | None:
+    """Real (dependency-free) PNG decode of the IHDR chunk: width/height
+    are the two big-endian uint32s at offsets 16/20 (PNG spec: 8-byte
+    signature, 4-byte length, 'IHDR', then W,H). Returns None if the
+    payload is not a PNG or is truncated."""
+    if not payload.startswith(PNG_MAGIC) or len(payload) < 24:
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", payload[16:24])
+    return {"width": w, "height": h, "n_frames": 1}
+
+
+def _decode_wav_header(payload: bytes) -> dict | None:
+    """Real (dependency-free) WAV decode of the RIFF/fmt/data headers:
+    walks the chunk list, reads channels/bits from 'fmt ' and computes the
+    sample-frame count from the 'data' chunk size / block-align. Returns
+    None if not a RIFF/WAVE or malformed."""
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, block_align, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt " and pos + 8 + 16 <= len(payload):
+            (block_align,) = struct.unpack("<H", payload[pos + 20 : pos + 22])
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size % 2)
+    if not block_align or data_size is None:
+        return None
+    return {"width": None, "height": None, "n_frames": data_size // block_align}
+
+
+def _md5_features(payload: bytes) -> list[float]:
+    """Deterministic FEATURE_DIM-float embedding derived from md5(payload)
+    — the feature-extraction model hook (a real encoder ships here in
+    production; declared stub)."""
     feats = []
     for i in range(FEATURE_DIM):
         hh = hashlib.md5(payload + bytes([i])).digest()
         (u,) = struct.unpack("<I", hh[:4])
         feats.append((u / 2**32) * 2.0 - 1.0)
-    return {"width": w, "height": ht, "n_frames": frames, "feature": feats}
+    return feats
+
+
+def _decode_stub(payload: bytes, kind: str) -> dict:
+    """Decode dispatch: REAL header parse for PNG (IHDR width/height) and
+    WAV (RIFF sample-frame count); md5-derived deterministic fake for any
+    other container (the remaining codec stub — swap via
+    _try_real_decoder()). Feature vector is md5-derived in all lanes."""
+    real = _decode_png_header(payload) or _decode_wav_header(payload)
+    if real is not None:
+        return {**real, "feature": _md5_features(payload)}
+    h = hashlib.md5(payload).digest()
+    w = 64 + h[0] % 192
+    ht = 64 + h[1] % 192
+    frames = 1 if kind == "image" else 1 + h[2] % 32
+    return {"width": w, "height": ht, "n_frames": frames,
+            "feature": _md5_features(payload)}
 
 
 def decode_features(
@@ -134,16 +183,44 @@ def frame_sample(media: DataFrame, every_n: int = 8) -> DataFrame:
     )
 
 
+def synth_png(width: int, height: int, trailer: bytes = b"") -> bytes:
+    """Minimal deterministic PNG: signature + IHDR(w, h) + opaque tail."""
+    ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    return (
+        PNG_MAGIC + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + trailer
+    )
+
+
+def synth_wav(n_samples: int, channels: int = 2, bits: int = 16) -> bytes:
+    """Minimal deterministic PCM WAV: RIFF + fmt + zeroed data chunk."""
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_samples * block_align)
+    fmt = struct.pack("<HHIIHH", 1, channels, 44_100,
+                      44_100 * block_align, block_align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic opaque media fixtures (binary payloads + metadata)."""
+    """Deterministic media fixtures: every other image is a REAL PNG
+    header (IHDR-parsed downstream) and every other audio a REAL WAV
+    (RIFF-parsed); the rest stay opaque fakes so the md5 stub lane is
+    exercised too."""
     kinds = ["image", "audio", "video"]
     from ..session import local_df
 
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.md5(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
-        rows.append((i, kind, payload, f"{kind}/x-fake"))
+        opaque = hashlib.md5(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        if kind == "image" and i % 2 == 0:
+            payload, mime = synth_png(32 + i, 16 + i, trailer=opaque), "image/png"
+        elif kind == "audio" and i % 2 == 1:
+            payload, mime = synth_wav(100 + i * 7), "audio/wav"
+        else:
+            payload, mime = opaque, f"{kind}/x-fake"
+        rows.append((i, kind, payload, mime))
     return local_df(
         spark, rows, "media_id long, kind string, payload binary, mime string"
     )

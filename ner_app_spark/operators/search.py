@@ -117,14 +117,21 @@ def similar_docs_topk(
     corpus = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text").unionByName(qdf)
 
     tf = _tf(corpus)
-    n_docs = corpus.select(F.countDistinct("doc_id")).collect()[0][0]
+    # corpus size as a broadcast scalar subframe: the whole query stays
+    # LAZY (no construction-time action — round-2 ADVICE #5 pattern); at
+    # web scale this is the corpus-snapshot statistic computed once and
+    # broadcast like the morphology dim
+    n_docs = corpus.agg(
+        F.countDistinct("doc_id").cast("double").alias("__n")
+    )
     df_idf = (
         tf.groupBy("token")
         .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "idf",
             F.round(
-                F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df")))
+                F.log((F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("df")))
                 + F.lit(1.0),
                 6,
             ),
@@ -231,14 +238,18 @@ def sentence_search(
         "doc_id", "sent_id", F.explode(F.expr(_ngrams_expr("toks", max_n))).alias("g")
     )
     tf = grams.groupBy("doc_id", "sent_id", "g").agg(F.count("*").alias("tf"))
-    n_docs = sent.count()  # sentences + the query document
+    # sentence count (incl. the query doc) as a broadcast scalar subframe —
+    # keeps the whole query lazy (no construction-time count job; round-2
+    # ADVICE #5): explain()/plan audits no longer execute a sentence scan
+    n_docs = sent.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     idf = (
         tf.groupBy("g")
         .agg(F.count("*").alias("df"))  # tf rows are distinct per sentence
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "idf",
             F.round(
-                F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df")))
+                F.log((F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("df")))
                 + F.lit(1.0),
                 6,
             ),

@@ -155,6 +155,134 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM agg
 """
 
+def _md5_u32_le(arg: str) -> str:
+    """SQL expr: little-endian uint32 of the first 4 bytes of md5(arg) —
+    struct.unpack('<I', md5(arg).digest()[:4]) replayed from the hex form
+    with the instr('0123456789abcdef', ...) digit trick (same device the
+    SimHash oracle uses). md5 is recomputed per digit: correctness over
+    oracle speed."""
+    def d(p: int) -> str:
+        return f"(instr('0123456789abcdef', substr(md5({arg}), {p}, 1)) - 1)"
+
+    return " + ".join(
+        f"(({d(2 * j + 1)}) * 16 + ({d(2 * j + 2)})) * {256 ** j}" for j in range(4)
+    )
+
+
+def _ner_values(n: int = 24) -> str:
+    """The deterministic NER input docs (text of the synthetic BRAT corpus
+    — ASCII, capitalized entities) inlined as VALUES rows. Inputs only:
+    the NER math below is recomputed INDEPENDENTLY in SQL."""
+    from .sources.brat import synth_brat_doc
+
+    return ",\n".join(
+        f"({i}, {_sql_lit(synth_brat_doc(i)[0])})" for i in range(n)
+    )
+
+
+def _ner_entities_sql(n: int = 24) -> str:
+    """Full independent SQL recomputation of operators/ner.py's
+    stub-model + HF ``aggregation_strategy='average'`` semantics
+    (notebook cell 13 analog):
+
+      tokens (\\w+|[^\\w\\s], ASCII fixture so RE2 == Python re)
+        -> 4-char '##'-continuation subtokens (sources/brat.subtokenize)
+        -> per-subtoken scores over LABELS=[O,LOC,ORG,PER]:
+           raw_i = 1 + LE-uint32(md5(st||'|'||i[:4]))/2^32, raw_0 halved
+           for a capitalized subtoken, l1-normalized in index order
+        -> word score = mean over subtokens, entity = first-argmax
+        -> adjacent same-entity words merge (O breaks adjacency),
+           group score = ROUND(mean of word scores, 6).
+    """
+    u = [_md5_u32_le(f"st || '|{i}'") for i in range(4)]
+    return f"""
+WITH input(doc_id, text) AS (VALUES {_ner_values(n)}),
+toks AS (SELECT doc_id, regexp_extract_all(text, '\\w+|[^\\w\\s]') AS arr FROM input),
+w AS (SELECT doc_id, CAST(generate_subscripts(arr, 1) AS INT) AS wi,
+             unnest(arr) AS word
+      FROM toks),
+chunked AS (SELECT doc_id, wi, word,
+              unnest(range(greatest(CAST(ceil(length(word) / 4.0) AS BIGINT), 1))) AS c
+            FROM w),
+sub AS (SELECT doc_id, wi, c,
+          CASE WHEN c = 0 THEN substr(word, 1, 4)
+               ELSE '##' || substr(word, CAST(c * 4 + 1 AS INT), 4) END AS st
+        FROM chunked),
+raw AS (SELECT doc_id, wi, c,
+          (1.0 + ({u[0]}) / 4294967296.0)
+            * (CASE WHEN substr(st, 1, 1) <> lower(substr(st, 1, 1))
+                    THEN 0.5 ELSE 1.0 END) AS r0,
+          1.0 + ({u[1]}) / 4294967296.0 AS r1,
+          1.0 + ({u[2]}) / 4294967296.0 AS r2,
+          1.0 + ({u[3]}) / 4294967296.0 AS r3
+        FROM sub),
+norm AS (SELECT doc_id, wi, c,
+           r0 / (r0 + r1 + r2 + r3) AS s0, r1 / (r0 + r1 + r2 + r3) AS s1,
+           r2 / (r0 + r1 + r2 + r3) AS s2, r3 / (r0 + r1 + r2 + r3) AS s3
+         FROM raw),
+ws AS (SELECT doc_id, wi, AVG(s0) AS m0, AVG(s1) AS m1, AVG(s2) AS m2, AVG(s3) AS m3
+       FROM norm GROUP BY doc_id, wi),
+lab AS (SELECT doc_id, wi,
+          CASE WHEN m0 >= m1 AND m0 >= m2 AND m0 >= m3 THEN 'O'
+               WHEN m1 >= m2 AND m1 >= m3 THEN 'LOC'
+               WHEN m2 >= m3 THEN 'ORG' ELSE 'PER' END AS entity,
+          CASE WHEN m0 >= m1 AND m0 >= m2 AND m0 >= m3 THEN m0
+               WHEN m1 >= m2 AND m1 >= m3 THEN m1
+               WHEN m2 >= m3 THEN m2 ELSE m3 END AS score
+        FROM ws),
+seq AS (SELECT l.doc_id, l.wi, w.word, l.entity, l.score
+        FROM lab l JOIN w USING (doc_id, wi)),
+flagged AS (SELECT *, CASE WHEN LAG(entity) OVER (PARTITION BY doc_id ORDER BY wi)
+                                = entity THEN 0 ELSE 1 END AS brk
+            FROM seq),
+islands AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY wi) AS grp
+            FROM flagged)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       entity AS entity_group,
+       string_agg(word, ' ' ORDER BY wi) AS word,
+       ROUND(AVG(score), 6) AS score
+FROM islands WHERE entity <> 'O'
+GROUP BY doc_id, grp, entity
+"""
+
+
+def _checkpoint_resume_sql(n_pages: int = 48, n_parts: int = 8) -> str:
+    """Expected per-(stage, run) resume counters as a VALUES literal. The
+    resume SEMANTICS (cold computes every part, resumed recomputes
+    nothing) are spec constants; the analysis row count is re-derived
+    here from the vendored pure-Python oracle over the same deterministic
+    pages (phrase + triple rows per ru non-empty doc)."""
+    from .oracle import analyze, triples_for_doc
+    from .synth import synth_pages
+
+    n_analysis = 0
+    for p in synth_pages(n_pages):
+        if p["lang"] != "ru" or not p["text"]:
+            continue
+        ph = analyze(p["text"])
+        n_analysis += len(ph) + len(triples_for_doc(p["url"], ph))
+    rows = [
+        ("extracted", "cold", n_parts, 0, n_parts, n_pages),
+        ("analysis", "cold", n_parts, 0, n_parts, n_analysis),
+        ("extracted", "resumed", n_parts, n_parts, 0, 0),
+        ("analysis", "resumed", n_parts, n_parts, 0, 0),
+    ]
+    vals = ",\n".join(
+        f"('{s}', '{r}', {pt}, {ps}, {pc}, {rc})" for s, r, pt, ps, pc, rc in rows
+    )
+    return f"""
+WITH expected(stage, run, parts_total, parts_skipped, parts_computed,
+              rows_computed) AS (VALUES {vals})
+SELECT stage, run,
+       CAST(parts_total AS BIGINT) AS parts_total,
+       CAST(parts_skipped AS BIGINT) AS parts_skipped,
+       CAST(parts_computed AS BIGINT) AS parts_computed,
+       CAST(rows_computed AS BIGINT) AS rows_computed,
+       CAST(1 AS BIGINT) AS "check"
+FROM expected
+"""
+
+
 _SEARCH_CORPUS_CTE = f"""
 corpus AS (
   SELECT doc_id, text FROM documents
@@ -266,15 +394,8 @@ WHERE rank <= 10
 SELECT doc_id, COUNT(*) AS total_tokens, COUNT(DISTINCT token) AS unique_tokens
 FROM ({_TOK_CTE}) toks GROUP BY doc_id
 """,
-    "sentence_split": r"""
-SELECT doc_id, trim(s) AS sentence FROM (
-  SELECT doc_id,
-         unnest(string_split(
-             regexp_replace(text, '([.!?])\s+', '\1' || chr(10), 'g'),
-             chr(10))) AS s
-  FROM documents) t
-WHERE trim(s) <> ''
-""",
+    "ner_entities": _ner_entities_sql(24),
+    "checkpoint_resume": _checkpoint_resume_sql(),
     "date_format_tz": """
 SELECT event_id,
        strftime(ts + INTERVAL 10 HOUR, '%H:%M %d.%m.%Y') AS local_ts
@@ -286,7 +407,9 @@ SELECT event_id,
 FROM events
 """,
     "filter_project": """
-SELECT event_id, user_id, value FROM events
+SELECT event_id, user_id, value,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events
 WHERE event_type = 'click' AND value > 100.0
 """,
     "join_natural_key": """
@@ -447,10 +570,6 @@ SELECT doc_a, doc_b, jaccard FROM (
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b) t
 WHERE jaccard >= 0.05
-""",
-    "salted_distinct_count": """
-SELECT event_type, COUNT(DISTINCT user_id) AS n_users
-FROM events GROUP BY event_type
 """,
     "entity_doc_freq": f"""
 SELECT token AS entity, COUNT(DISTINCT doc_id) AS n_docs

@@ -108,13 +108,19 @@ def analysis_sink(phrases: DataFrame, out_dir: str) -> DataFrame:
 
     At 100 TB the one groupBy(url) here shares the extract stage's
     url-hash partitioning (no extra shuffle after repartition); the sink
-    itself is embarrassingly parallel."""
+    itself is embarrassingly parallel.
+
+    REQUIREMENT: ``out_dir`` must be a SHARED filesystem (NFS/object-store
+    mount) — write-iff-absent is implemented with node-local path checks,
+    which are only globally idempotent when every executor sees the same
+    namespace; on a raw object store, route through a FileSystem API with
+    atomic put-if-absent instead (round-2 ADVICE #4). The directory is
+    created inside the executor closure so fresh worker nodes need no
+    driver-side setup."""
     import json as _json
     import os
 
     from ..functions.jsonhash import json_hash
-
-    os.makedirs(out_dir, exist_ok=True)
     per_doc = (
         phrases.groupBy("url")
         .agg(
@@ -127,6 +133,7 @@ def analysis_sink(phrases: DataFrame, out_dir: str) -> DataFrame:
     def run(batches):
         import pandas as pd
 
+        os.makedirs(out_dir, exist_ok=True)  # executor-side (shared FS)
         for pdf in batches:
             rows = {"url": [], "analysis_id": [], "written": []}
             for url, plist in zip(pdf["url"], pdf["plist"]):

@@ -62,20 +62,6 @@ def q_doc_stats(spark, sf_dir):
     return tfidf.doc_stats(_t(spark, sf_dir, "documents"))
 
 
-def q_sentence_split(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.split(F.regexp_replace("text", "([.!?])\\s+", "$1\n"), "\n")
-            ).alias("sentence"),
-        )
-        .withColumn("sentence", F.trim("sentence"))
-        .filter(F.col("sentence") != "")
-    )
-
-
 def q_date_format_tz(spark, sf_dir):
     # F9: UTC -> Asia/Vladivostok (+10, no DST) + reference display format
     return _t(spark, sf_dir, "events").select(
@@ -97,11 +83,18 @@ def q_number_clamp(spark, sf_dir):
 
 
 def q_filter_project(spark, sf_dir):
-    # P1/P2/P6/P7: predicate chain + projection
+    # P1/P2/P6/P7: predicate chain + projection; prop_k is JSON-path
+    # extraction (get_json_object over events.props — the json_extract
+    # coverage consolidated here, round-2 ADVICE #1)
     e = _t(spark, sf_dir, "events")
     return e.filter(
         (F.col("event_type") == "click") & (F.col("value") > 100.0)
-    ).select("event_id", "user_id", "value")
+    ).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
 
 
 # ------------------------------------------------------------- joins / sets
@@ -386,17 +379,6 @@ def q_jaccard_pairs(spark, sf_dir):
     return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
-def q_salted_distinct_count(spark, sf_dir):
-    # skew-safe countDistinct: two-phase salted aggregation, verified
-    # against the naive SQL form (salting must not change the answer)
-    from .operators.skew import salted_distinct_count
-
-    return salted_distinct_count(
-        _t(spark, sf_dir, "events"), ["event_type"], "user_id", n_salts=16,
-        out="n_users",
-    )
-
-
 def q_entity_doc_freq(spark, sf_dir):
     # head-entity document frequency (the canonical skewed aggregation):
     # entity = token over the documents corpus — a ~60-word vocabulary
@@ -563,6 +545,86 @@ def q_fingerprint(spark, sf_dir):
     return textquality.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_ner_entities(spark, sf_dir):
+    """Batched transformer-NER inference stage (notebook cells 8-13 analog,
+    operators/ner.py): stub-model scores + faithful HF
+    aggregation_strategy='average' postprocessing over the deterministic
+    BRAT corpus texts (ASCII, capitalized entities — so the RE2 and Python
+    tokenizers agree and the casing-sensitive score path is exercised).
+    The DuckDB oracle (oracles._ner_entities_sql) recomputes the whole
+    stage independently in SQL from the inlined input texts."""
+    from .operators.ner import ner_entities
+    from .sources.brat import synth_brat_df
+
+    docs = synth_brat_df(spark, 24).select("doc_id", "text")
+    return ner_entities(docs, num_partitions=4).withColumn(
+        "score", F.col("score").cast("double")
+    )
+
+
+def q_checkpoint_resume(spark, sf_dir):
+    """Driver-visible S2/S3 resume semantics (round-2 VERDICT #7): run the
+    two checkpointed pipeline stages twice in one query — first cold, then
+    resumed — and emit per-(stage, run) manifest counters. The resumed
+    pass must recompute NOTHING (parts_computed = rows_computed = 0) or
+    the in-query check raises (red driver row); the DuckDB oracle pins the
+    exact expected counters. Eager by nature: the resume protocol is a
+    side-effectful two-run experiment, so it executes at construction time
+    (workdir is a fresh mkdtemp, removed before returning — only the plain
+    Python metrics survive)."""
+    import shutil
+    import tempfile
+
+    from .operators.extract import extract_phrases_and_triples, extracted_text
+    from .plans.checkpoint import CheckpointManager
+
+    n_pages, n_parts = 48, 8
+    wd = tempfile.mkdtemp(prefix="ner_app_spark_resume_")
+    try:
+        metrics = []
+        for run in ("cold", "resumed"):
+            ckpt = CheckpointManager(wd, n_parts=n_parts)
+            pages = synth_pages_df(spark, n_pages)
+            ext, m1 = ckpt.run_stage(spark, "extracted", extracted_text(pages), key="url")
+            fused = extract_phrases_and_triples(
+                ext, num_partitions=n_parts, text_col="extracted"
+            )
+            _, m2 = ckpt.run_stage(spark, "analysis", fused, key="url")
+            metrics += [(run, m1), (run, m2)]
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+    from .session import local_df
+
+    rows = [
+        (m.stage, run, m.parts_total, m.parts_skipped, m.parts_computed,
+         m.rows_computed)
+        for run, m in metrics
+    ]
+    out = local_df(
+        spark,
+        rows,
+        "stage string, run string, parts_total long, parts_skipped long, "
+        "parts_computed long, rows_computed long",
+    )
+    ok = (
+        (F.col("run") == "cold")
+        & (F.col("parts_computed") == F.col("parts_total"))
+        & (F.col("parts_skipped") == 0)
+    ) | (
+        (F.col("run") == "resumed")
+        & (F.col("parts_computed") == 0)
+        & (F.col("rows_computed") == 0)
+        & (F.col("parts_skipped") == F.col("parts_total"))
+    )
+    return out.withColumn(
+        "check",
+        _check_col(
+            ok, "checkpoint_resume: resumed run recomputed completed parts"
+        ).cast("long"),
+    )
+
+
 # ------------------------------------------------ KG pipeline (non-SQL ops)
 #
 # Self-checking rows (round-2; VERDICT "Next round" #7): the kg_* family
@@ -679,7 +741,10 @@ def q_kg_phrases(spark, sf_dir):
             "|",
             "phrase",
             "type",
-            F.format_number(F.col("tfidf"), 9),
+            # format_string, not format_number: the latter inserts
+            # thousands-separator commas for values >= 1000 (round-2
+            # ADVICE #2); %.9f mirrors the oracle's f"{tfidf:.9f}"
+            F.format_string("%.9f", F.col("tfidf")),
             "head_noun",
         ),
     )
@@ -704,8 +769,38 @@ def q_kg_triples(spark, sf_dir):
 
 
 def q_kg_links(spark, sf_dir):
+    # red-capable self-checks (round-2 VERDICT #4): (a) every exact-probe
+    # hit — a mention string equal to some alias — must link with cosine
+    # ~1.0 (identical char-3gram multisets; 1e-9 absorbs sqrt(s)*sqrt(s)
+    # ulp), and (b) every emitted link must clear min_score. Violations
+    # are counted in-query and raise -> red driver row.
+    min_score = 0.5
     phrases = extract_phrases(_pages_for(spark, sf_dir), num_partitions=8)
-    return link_mentions(phrases, alias_dict_df(spark))
+    links = link_mentions(phrases, alias_dict_df(spark), min_score=min_score)
+    aliases = alias_dict_df(spark).select(F.col("alias").alias("mention")).distinct()
+    exact = links.join(F.broadcast(aliases), "mention", "left_semi")
+    stats = exact.agg(
+        F.sum(
+            F.when(F.col("score") < 1.0 - 1e-9, 1).otherwise(0)
+        ).alias("__exact_bad")
+    ).crossJoin(
+        links.agg(
+            F.sum(
+                F.when(F.col("score") < min_score, 1).otherwise(0)
+            ).alias("__thresh_bad")
+        )
+    ).select(
+        (F.coalesce("__exact_bad", F.lit(0))
+         + F.coalesce("__thresh_bad", F.lit(0))).alias("n_violations")
+    )
+    return links.crossJoin(F.broadcast(stats)).select(
+        *links.columns,
+        "n_violations",
+        _check_col(
+            F.col("n_violations") == 0,
+            "kg_links: exact-probe hit scored < 1.0 or link below min_score",
+        ),
+    )
 
 
 def q_kg_canonical(spark, sf_dir):
@@ -741,16 +836,79 @@ def q_kg_canonical(spark, sf_dir):
     )
 
 
+def _bin_byte(col, pos):
+    """Byte value at 1-based position of a binary column (JVM-side)."""
+    return F.conv(F.hex(F.substring(col, pos, 1)), 16, 10).cast("long")
+
+
+def _md5_byte(hex_col, j: int):
+    """Byte j (0-based) of an md5 hex-string column."""
+    return F.conv(F.substring(hex_col, 2 * j + 1, 2), 16, 10).cast("long")
+
+
 def q_multimodal_features(spark, sf_dir):
     # exercises BOTH multimodal operators (decode/feature-extract +
     # frame-sampling) in one registry entry; the feature vector is
-    # JSON-serialized (driver canonicalizer cannot hash array cells)
+    # JSON-serialized (driver canonicalizer cannot hash array cells).
+    # Red-capable (round-2 VERDICT #4): every decode lane is RECOMPUTED
+    # in-query JVM-side from the raw payload — PNG IHDR width/height
+    # (big-endian u32 at offsets 16/20), WAV sample-frame count (the
+    # fixture's canonical RIFF layout: block_align at offset 32, data
+    # size at offset 40 — the Python parser walks arbitrary chunk lists,
+    # the SQL recheck pins the fixture), md5-derived dims for the opaque
+    # stub lane, and feature lane 0 from md5(payload || 0x00) for ALL
+    # lanes. Any drift raises -> red driver row.
     media = synth_media_df(spark, 64)
     feats = decode_features(media, num_partitions=4)
     frames = frame_sample(media).groupBy("media_id").agg(
         F.count("*").alias("n_sampled_frames")
     )
-    return feats.join(frames, "media_id", "left").select(
+    j = feats.join(media.select("media_id", "payload"), "media_id").join(
+        frames, "media_id", "left"
+    )
+    pay = F.col("payload")
+    h = F.md5(pay)
+    is_png = (F.hex(F.substring(pay, 1, 8)) == "89504E470D0A1A0A") & (
+        F.hex(F.substring(pay, 13, 4)) == "49484452"
+    )
+    is_wav = (F.hex(F.substring(pay, 1, 4)) == "52494646") & (
+        F.hex(F.substring(pay, 9, 4)) == "57415645"
+    )
+    be32 = lambda pos: F.conv(F.hex(F.substring(pay, pos, 4)), 16, 10).cast("long")
+    le16 = lambda pos: _bin_byte(pay, pos) + _bin_byte(pay, pos + 1) * 256
+    le32 = lambda pos: (
+        _bin_byte(pay, pos)
+        + _bin_byte(pay, pos + 1) * 256
+        + _bin_byte(pay, pos + 2) * 65536
+        + _bin_byte(pay, pos + 3) * 16777216
+    )
+    exp_w = F.when(is_png, be32(17)).when(is_wav, F.lit(None).cast("long")).otherwise(
+        64 + _md5_byte(h, 0) % 192
+    )
+    exp_h = F.when(is_png, be32(21)).when(is_wav, F.lit(None).cast("long")).otherwise(
+        64 + _md5_byte(h, 1) % 192
+    )
+    exp_fr = (
+        F.when(is_png, F.lit(1).cast("long"))
+        .when(is_wav, F.floor(le32(41) / le16(33)).cast("long"))
+        .otherwise(
+            F.when(F.col("kind") == "image", F.lit(1).cast("long")).otherwise(
+                1 + _md5_byte(h, 2) % 32
+            )
+        )
+    )
+    hh0 = F.md5(F.concat(pay, F.lit(bytes([0]))))
+    u0 = sum(_md5_byte(hh0, b) * (256 ** b) for b in range(4))
+    exp_f0 = u0 / F.lit(float(2 ** 32)) * 2.0 - 1.0
+    row_bad = (
+        (~F.col("width").cast("long").eqNullSafe(exp_w))
+        | (~F.col("height").cast("long").eqNullSafe(exp_h))
+        | (~F.col("n_frames").cast("long").eqNullSafe(exp_fr))
+        | (F.abs(F.element_at("feature", 1).cast("double") - exp_f0) > 1e-6)
+    )
+    checked = j.withColumn("__bad", F.when(row_bad, 1).otherwise(0))
+    stats = checked.agg(F.sum("__bad").alias("n_violations"))
+    return checked.crossJoin(F.broadcast(stats)).select(
         "media_id",
         "kind",
         "width",
@@ -758,6 +916,11 @@ def q_multimodal_features(spark, sf_dir):
         "n_frames",
         F.coalesce("n_sampled_frames", F.lit(0)).alias("n_sampled_frames"),
         F.to_json("feature").alias("feature_json"),
+        "n_violations",
+        _check_col(
+            F.col("n_violations") == 0,
+            "multimodal_features: decode drifted from in-query payload recompute",
+        ),
     )
 
 
@@ -768,14 +931,21 @@ def q_multimodal_features(spark, sf_dir):
 # rows: F7 md5 content hash lives in dedup_exact (text_hash column) and
 # fingerprint; token counting lives in doc_stats + quality_score
 # (n_tokens); node minting + frame sampling are exercised inside
-# graph_merge and multimodal_features respectively.
+# graph_merge and multimodal_features respectively; JSON-path extraction
+# (get_json_object) lives in filter_project (prop_k). Round-3 swaps,
+# both VERDICT-directed: sentence_split -> ner_entities (F6 sentence
+# splitting stays driver-verified inside sentence_search's sentence stage
+# and oracle), salted_distinct_count -> checkpoint_resume (the salted
+# two-phase operator itself stays driver-verified via entity_doc_freq,
+# which calls the same operators.skew.salted_distinct_count on genuinely
+# hot keys).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_counts": q_tf_counts,
     "tfidf_single_doc": q_tfidf_single_doc,
     "doc_freq_idf": q_doc_freq_idf,
     "topk_terms": q_topk_terms,
     "doc_stats": q_doc_stats,
-    "sentence_split": q_sentence_split,
+    "ner_entities": q_ner_entities,
     "date_format_tz": q_date_format_tz,
     "number_clamp": q_number_clamp,
     "filter_project": q_filter_project,
@@ -801,7 +971,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "jaccard_pairs": q_jaccard_pairs,
-    "salted_distinct_count": q_salted_distinct_count,
+    "checkpoint_resume": q_checkpoint_resume,
     "entity_doc_freq": q_entity_doc_freq,
     "near_dup_verified": q_near_dup_verified,
     "graph_merge": q_graph_merge,
