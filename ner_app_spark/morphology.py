@@ -142,14 +142,36 @@ _OOV_VERB_SUFFIXES = (
     "ться", "тся", "ть", "ает", "яет", "ают", "яют",
     "ишь", "ешь", "ила", "или", "ило", "ала", "али", "ало", "ил", "ал",
 )
-# noun case endings stripped for the crude normal form (longest first)
-_OOV_NOUN_STRIP = (
-    "иями", "ями", "ами", "иях", "ях", "ах", "иям", "ям", "ам",
-    "ией", "ами", "ией", "ием", "ьях", "ьям",
-    "ии", "ия", "ие", "ию", "ья", "ье", "ью", "ей", "ом", "ем", "ой",
-    "ою", "ею", "ов", "ев",
-    "ы", "и", "е", "у", "ю", "а", "я", "й", "ь",
+# noun case endings -> nominative reconstruction (longest-suffix-first;
+# round-2 VERDICT #5: bare stems like "бабушк" are not words — pymorphy3's
+# normal_form returns real nominatives, so each stripped suffix class maps
+# to its declension-class nominative ending: stem + ия/ие/ья/я/а/∅).
+# None = gender-heuristic single-vowel/plural-oblique classes where the
+# same surface ending serves feminine-а nouns (бабушками -> бабушка) and
+# masculine nouns (столами -> стол): _fem_ka_stem decides (-шк/-чк/-жк/-щк
+# diminutive/feminine stems take 'а', everything else the bare stem).
+# 'й'/'ь' map to themselves: words in -й/-ь (герой, область) are usually
+# already nominative.
+_OOV_NOUN_RULES: tuple[tuple[str, str | None], ...] = (
+    ("иями", "ия"), ("иях", "ия"), ("иям", "ия"), ("ией", "ия"),
+    ("ием", "ие"),
+    ("ьях", "ья"), ("ьям", "ья"),
+    ("ями", "я"), ("ами", None), ("ях", "я"), ("ах", None),
+    ("ям", "я"), ("ам", None),
+    ("ии", "ия"), ("ия", "ия"), ("ие", "ие"), ("ию", "ия"),
+    ("ья", "ья"), ("ье", "ье"), ("ью", "ья"),
+    ("ей", "я"), ("ею", "я"), ("ом", ""), ("ем", ""), ("ой", None),
+    ("ою", None), ("ов", ""), ("ев", ""),
+    ("ы", None), ("и", None), ("е", None), ("у", None), ("ю", None),
+    ("а", None), ("я", None), ("й", "й"), ("ь", "ь"),
 )
+
+
+def _fem_ka_stem(stem: str) -> bool:
+    """Feminine -ка declension heuristic: diminutive/feminine stems end in
+    шк/чк/жк/щк (бабушк-, шапочк-, ложк-); masculine -к stems (волк-,
+    парк-) keep the bare stem."""
+    return len(stem) >= 3 and stem.endswith(("шк", "чк", "жк", "щк"))
 
 
 def _is_cyrillic_word(w: str) -> bool:
@@ -167,9 +189,12 @@ def predict_oov(w: str) -> tuple[str, str | None]:
     for suf in _OOV_ADJ_SUFFIXES:
         if w.endswith(suf) and len(w) - len(suf) >= 3:
             return w[: -len(suf)] + "ый", "ADJF"
-    for suf in _OOV_NOUN_STRIP:
+    for suf, nom in _OOV_NOUN_RULES:
         if w.endswith(suf) and len(w) - len(suf) >= 3:
-            return w[: -len(suf)], "NOUN"
+            stem = w[: -len(suf)]
+            if nom is None:
+                nom = "а" if _fem_ka_stem(stem) else ""
+            return stem + nom, "NOUN"
     return w, "NOUN"
 
 
