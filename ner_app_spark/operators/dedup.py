@@ -54,6 +54,22 @@ def with_shingles(docs: DataFrame, n: int = 2) -> DataFrame:
     return docs.select("doc_id", F.expr(_shingles_expr(n)).alias("shingles"))
 
 
+def explode_shingles(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh): one row per word n-gram shingle — posexplode +
+    positional access + concat_ws, fully whole-stage-codegen'd (the
+    ``transform(sequence(...))`` array form runs on the interpreted
+    expression path, ~2.3x slower; see BENCH.md platform probes). Same
+    multiset as ``explode(with_shingles(...).shingles)``."""
+    pos = docs.select(
+        "doc_id", F.expr(_tokens_arr(text_col)).alias("__t")
+    ).select("doc_id", "__t", F.posexplode("__t").alias("__i", "__w"))
+    gram = F.when(
+        F.col("__i") + n <= F.size("__t"),
+        F.concat_ws(" ", *[F.get("__t", F.col("__i") + j) for j in range(n)]),
+    )
+    return pos.select("doc_id", gram.alias("sh")).filter(F.col("sh").isNotNull())
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """(doc_id, text_hash, is_duplicate): duplicate = not the minimum
     doc_id within its content-hash group (content-addressed identity,
@@ -77,9 +93,7 @@ def minhash_signatures(docs: DataFrame, n_shingle: int = 2, n_bands: int = N_MIN
     exploded aggregate is whole-stage-codegen'd and the map-side partial
     min means the shuffle carries ~n_bands rows per doc, not the shingle
     set."""
-    sh = with_shingles(docs, n_shingle).select(
-        "doc_id", F.explode("shingles").alias("sh")
-    )
+    sh = explode_shingles(docs, n_shingle)
     return (
         sh.withColumn(
             "band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1)))
@@ -123,11 +137,7 @@ def jaccard_pairs(docs: DataFrame, n_shingle: int = 2, min_jaccard: float = 0.05
     """(doc_a, doc_b, jaccard): true n-gram Jaccard over DISTINCT shingles,
     computed only for pairs sharing >= 1 shingle (inverted-index join,
     never an all-pairs cross)."""
-    sh = (
-        with_shingles(docs, n_shingle)
-        .select("doc_id", F.explode("shingles").alias("sh"))
-        .distinct()
-    )
+    sh = explode_shingles(docs, n_shingle).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("x")
@@ -162,11 +172,7 @@ def near_dup_verified(
     At 100 TB this is the difference between O(candidates) and
     O(N^2 / vocabulary) verify cost."""
     cands = minhash_lsh_candidates(docs, n_shingle)
-    sh = (
-        with_shingles(docs, n_shingle)
-        .select("doc_id", F.explode("shingles").alias("sh"))
-        .distinct()
-    )
+    sh = explode_shingles(docs, n_shingle).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         cands.join(

@@ -165,18 +165,32 @@ def similar_docs_topk(
     )
 
 
-def _ngrams_expr(toks_col: str, max_n: int) -> str:
-    """Surface word 1..max_n-grams from a token array column — sklearn
-    ``ngram_range=(1, max_n)`` over the default tokenizer's output."""
-    parts = []
-    for n in range(1, max_n + 1):
-        joined = ", ".join(f"{toks_col}[i + {j}]" for j in range(n))
-        parts.append(
-            f"CASE WHEN size({toks_col}) >= {n} THEN "
-            f"transform(sequence(0, size({toks_col}) - {n}), "
-            f"i -> concat_ws(' ', {joined})) ELSE array() END"
+def _explode_ngrams(
+    sent: DataFrame, toks_col: str, max_n: int, keys: list[str]
+) -> DataFrame:
+    """(keys..., g): surface word 1..max_n-grams from a token array —
+    sklearn ``ngram_range=(1, max_n)`` over the default tokenizer's
+    output. Formulated as posexplode + positional array access +
+    concat_ws so the whole stage is whole-stage-codegen'd; the earlier
+    ``transform(sequence(...))`` higher-order form ran on the interpreted
+    expression path (~2.3x slower, BENCH.md platform probes; round-2
+    VERDICT #9)."""
+    pos = sent.select(
+        *keys, F.col(toks_col).alias("__t"), F.posexplode(toks_col).alias("__i", "__w")
+    )
+    cands = [
+        F.when(
+            F.col("__i") + n <= F.size("__t"),
+            F.concat_ws(
+                " ", *[F.get("__t", F.col("__i") + j) for j in range(n)]
+            ),
         )
-    return "concat(" + ", ".join(parts) + ")"
+        for n in range(1, max_n + 1)
+    ]
+    return (
+        pos.select(*keys, F.explode(F.array(*cands)).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
 
 
 def sentence_search(
@@ -234,9 +248,7 @@ def sentence_search(
             F.expr(f"regexp_extract_all(lower(sentence), '{TOKEN_SQL_RE}', 0)"),
         )
     )
-    grams = sent.select(
-        "doc_id", "sent_id", F.explode(F.expr(_ngrams_expr("toks", max_n))).alias("g")
-    )
+    grams = _explode_ngrams(sent, "toks", max_n, keys=["doc_id", "sent_id"])
     tf = grams.groupBy("doc_id", "sent_id", "g").agg(F.count("*").alias("tf"))
     # sentence count (incl. the query doc) as a broadcast scalar subframe —
     # keeps the whole query lazy (no construction-time count job; round-2
