@@ -18,7 +18,9 @@ NOTES = {
     "kg_triples": "Broadcast morphology attach; windows on (url, ...).",
     "similar_docs_topk": "Query side broadcasts; token equi-join cosine.",
     "topk_per_group": "WindowGroupLimit rank-limit pushdown.",
-    "salted_distinct_count": "Two-phase salted distinct aggregation.",
+    "entity_doc_freq": "Two-phase salted distinct aggregation over hot keys.",
+    "sentence_search": "Codegen ngram explode; one posting shuffle; lazy.",
+    "ner_entities": "Arrow MapInPandas inference; xxhash64 repartition.",
 }
 
 
