@@ -26,8 +26,10 @@ def test_filter_pushdown_reaches_parquet_scan(spark):
     plan = _physical(QUERIES["filter_project"](spark, SF_DIR))
     assert "PushedFilters" in plan
     assert "IsNotNull(event_type)" in plan or "EqualTo(event_type,click)" in plan
-    # column pruning: scan must not read the full events schema
-    assert "props" not in plan.split("ReadSchema")[1][:400]
+    # column pruning: scan must not read the full events schema (`props`
+    # IS read since round 3 — the prop_k JSON-path extraction — but the
+    # unused `ts` column must still be pruned)
+    assert "ts:timestamp" not in plan.split("ReadSchema")[1][:400]
 
 
 def test_projection_prunes_scan_schema(spark):
