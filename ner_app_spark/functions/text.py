@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import html as html_mod
 import re
+from functools import lru_cache
 
 from .. import morphology as M
 
@@ -51,8 +52,13 @@ def tokenize(text: str) -> list[str]:
     return TOKEN_RE.findall(text)
 
 
+@lru_cache(maxsize=1 << 20)
 def lemmatize_token(tok: str) -> str:
-    """Hyphenated token -> lemmatize each part, re-join (tfidf.py:26-34)."""
+    """Hyphenated token -> lemmatize each part, re-join (tfidf.py:26-34).
+
+    Memoized per worker process: token frequencies are Zipfian, so the
+    hit rate approaches 1 on real corpora and the cache (bounded 2^20
+    entries) turns the per-occurrence dictionary/OOV walk into a dict hit."""
     if "-" in tok:
         return "-".join(M.lemma_of(p) for p in tok.split("-"))
     return M.lemma_of(tok)
@@ -60,16 +66,28 @@ def lemmatize_token(tok: str) -> str:
 
 def lemma_ngrams(text: str, max_n: int = 3) -> list[str]:
     """All sliding lemma n-grams n=1..max_n whose windows contain only
-    word-like tokens (with multiplicity — the TF source)."""
-    tokens = tokenize(text)
-    wordlike = [WORDLIKE_RE.fullmatch(t) is not None for t in tokens]
-    lemmas = [lemmatize_token(t) if w else t for t, w in zip(tokens, wordlike)]
+    word-like tokens (with multiplicity — the TF source). Punctuation is
+    a hard window boundary, so generation walks maximal word-like runs —
+    no per-window boundary re-checks (multiset identical to the naive
+    sliding form; consumers count, order is not part of the contract)."""
     out: list[str] = []
-    n_tok = len(tokens)
-    for n in range(1, max_n + 1):
-        for i in range(n_tok - n + 1):
-            if all(wordlike[i : i + n]):
-                out.append(" ".join(lemmas[i : i + n]))
+    run: list[str] = []
+    wordlike = WORDLIKE_RE.fullmatch
+
+    def flush() -> None:
+        n_run = len(run)
+        for n in range(1, max_n + 1):
+            for i in range(n_run - n + 1):
+                out.append(" ".join(run[i : i + n]))
+        run.clear()
+
+    for tok in tokenize(text):
+        if wordlike(tok) is not None:
+            run.append(lemmatize_token(tok))
+        elif run:
+            flush()
+    if run:
+        flush()
     return out
 
 
@@ -79,13 +97,20 @@ def pos_sequence(phrase: str) -> str:
     return " ".join(M.pos_letter(w) for w in phrase.split())
 
 
+@lru_cache(maxsize=1 << 20)
 def classify_pattern(phrase: str) -> str | None:
-    """First-match-wins POS pattern classification (A6)."""
+    """First-match-wins POS pattern classification (A6). Pure function of
+    the lemmatized phrase string -> memoized per worker (distinct-ngram
+    vocabularies are Zipfian; re-deriving per-word POS per occurrence was
+    the analyze() hot spot)."""
     return PATTERN_BY_POS_SEQ.get(pos_sequence(phrase))
 
 
+@lru_cache(maxsize=1 << 20)
 def head_noun_lemma(phrase: str) -> str:
-    """Rightmost NOUN's normal form, else '' (phrase_extractor.py:73-83)."""
+    """Rightmost NOUN's normal form, else '' (phrase_extractor.py:73-83).
+    Memoized (pure function of the phrase string, same rationale as
+    classify_pattern)."""
     for word in reversed(phrase.split()):
         if M.pos_of(word) == "NOUN":
             return M.lemma_of(word)
