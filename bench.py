@@ -37,15 +37,41 @@ def _force(df) -> int:
     return 0
 
 
+def _sink_dir() -> str:
+    """Scratch dir for the kg job's materialized fused table: tmpfs when
+    it has headroom (same gate as session.py's shuffle-dir rule), else
+    /tmp. On a real cluster this is the Iceberg warehouse."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    try:
+        st = os.statvfs(base)
+        if st.f_bavail * st.f_frsize / 2**30 < 8.0:
+            base = "/tmp"
+    except OSError:
+        base = "/tmp"
+    return os.path.join(base, f"ner_app_spark_bench_sink_{os.getpid()}")
+
+
 def kg_pipeline_counts(spark, n_pages: int, n_parts: int | None = None) -> dict:
     """The headline job: synth pages -> fused extract (phrases AND triples
     emitted in the SAME Arrow batch — triples are per-doc local, so fusing
     deletes the posexplode/window shuffle that dominated earlier rounds)
-    -> links. Returns counts + per-stage walls for throughput math.
+    -> materialize the fused table to a parquet sink -> links from the
+    sink. Returns counts + per-stage walls for throughput math.
 
-    Stage walls: 'extract' materializes the whole fused frame (phrases +
-    triples compute), 'triples' is the cached triple-row count, 'links'
-    the linking join tree."""
+    Round-3 shape change (documented in BENCH.md): the fused frame is
+    written to parquet and read back rather than `.cache()`-ed. This is
+    the north-star shape (nodes/edges materialize to a table, not to
+    executor heap) AND the scalable one on this box — the 11M-row
+    deserialized cache write was DRAM-bandwidth-bound and anti-scaled
+    past ~8 threads, while the parquet encode is CPU-bound and speeds up
+    with added cores (measured 26.6 s -> 17.5 s going 8 -> 32 at 20k
+    pages vs the cache's inversion).
+
+    Stage walls: 'extract' runs the full fused compute + sink write,
+    'triples' the per-kind counts from the sink, 'links' the linking
+    join tree over the sink's phrase rows."""
+    import shutil
+
     from pyspark.sql import functions as F
 
     from ner_app_spark.operators.extract import (
@@ -56,16 +82,25 @@ def kg_pipeline_counts(spark, n_pages: int, n_parts: int | None = None) -> dict:
     from ner_app_spark.sources.pages import alias_dict_df, synth_pages_df
 
     n_parts = n_parts or CPUS * 2
-    t0 = time.monotonic()
-    pages = synth_pages_df(spark, n_pages)
-    fused = extract_phrases_and_triples(pages, num_partitions=n_parts).cache()
-    n_phrases = fused.filter(F.col("kind") == "phrase").count()
-    t1 = time.monotonic()
-    n_triples = fused.filter(F.col("kind") == "triple").count()
-    t2 = time.monotonic()
-    n_links = link_mentions(fused_phrases(fused), alias_dict_df(spark)).count()
-    t3 = time.monotonic()
-    fused.unpersist()
+    out = _sink_dir()
+    try:
+        t0 = time.monotonic()
+        pages = synth_pages_df(spark, n_pages)
+        fused = extract_phrases_and_triples(pages, num_partitions=n_parts)
+        fused.write.mode("overwrite").parquet(out)
+        t1 = time.monotonic()
+        back = spark.read.parquet(out)
+        counts = {
+            r["kind"]: r["n"]
+            for r in back.groupBy("kind").agg(F.count("*").alias("n")).collect()
+        }
+        n_phrases = int(counts.get("phrase", 0))
+        n_triples = int(counts.get("triple", 0))
+        t2 = time.monotonic()
+        n_links = link_mentions(fused_phrases(back), alias_dict_df(spark)).count()
+        t3 = time.monotonic()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
     return {
         "docs": n_pages,
         "phrases": n_phrases,
@@ -193,6 +228,22 @@ def run_scaling_child(cores: int, n_pages: int, stage: str = "all") -> dict:
         master=f"local[{cores}]",
         shuffle_partitions=cores * 2,
     )
+    # Untimed warmup (same methodology as the headline bench, round-2
+    # VERDICT #3): a ~200-page pass of the identical job shape absorbs the
+    # one-time per-JVM costs — Python-worker spin-up, codegen/JIT compile
+    # of the ~15-stage linking plan, broadcast machinery. Measured: the
+    # FIRST linking execution in a fresh JVM costs 50-75 s at local[32]
+    # vs ~3-9 s for every subsequent one (driver-side single-threaded
+    # compile gaps, starved by 32 busy task threads under neighbor
+    # noise); the N->4N gate is about throughput, which a 10^12-doc job
+    # amortizes cold-start into nothing.
+    if stage == "extract":
+        from ner_app_spark.operators.extract import extract_phrases
+        from ner_app_spark.sources.pages import synth_pages_df
+
+        extract_phrases(synth_pages_df(spark, 200), num_partitions=cores).count()
+    else:
+        kg_pipeline_counts(spark, 200, n_parts=cores)
     t0 = time.monotonic()
     if stage == "extract":
         from ner_app_spark.operators.extract import extract_phrases

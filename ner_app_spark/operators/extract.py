@@ -136,24 +136,50 @@ def _analyze_fused_batches(batches) -> Iterator:
 
     from ..oracle import analyze, triples_for_doc
 
-    cols = [
-        "url", "kind", "phrase", "type", "tfidf", "length", "head_noun",
-        "subj", "pred", "obj",
-    ]
     for pdf in batches:
-        rows: list[tuple] = []
+        # columnar accumulation (phrase block then triple block, concatenated
+        # per column): pd.DataFrame over a list of row tuples transposes
+        # through a single object ndarray — at ~5x phrase + ~9x triple
+        # amplification per doc that transpose dominated the batch wall
+        p_url: list = []
+        p_phrase: list = []
+        p_type: list = []
+        p_tfidf: list = []
+        p_len: list = []
+        p_head: list = []
+        t_url: list = []
+        t_s: list = []
+        t_p: list = []
+        t_o: list = []
         for url, text in zip(pdf["url"], pdf["text"]):
             phrases = analyze(text)
             for p in phrases:
-                rows.append(
-                    (url, "phrase", p.phrase, p.type, p.tfidf, p.length,
-                     p.head_noun, None, None, None)
-                )
+                p_url.append(url)
+                p_phrase.append(p.phrase)
+                p_type.append(p.type)
+                p_tfidf.append(p.tfidf)
+                p_len.append(p.length)
+                p_head.append(p.head_noun)
             for (_u, s, pr, o) in triples_for_doc(url, phrases):
-                rows.append(
-                    (url, "triple", None, None, None, None, None, s, pr, o)
-                )
-        yield pd.DataFrame(rows, columns=cols)
+                t_url.append(url)
+                t_s.append(s)
+                t_p.append(pr)
+                t_o.append(o)
+        n_p, n_t = len(p_url), len(t_url)
+        yield pd.DataFrame(
+            {
+                "url": p_url + t_url,
+                "kind": ["phrase"] * n_p + ["triple"] * n_t,
+                "phrase": p_phrase + [None] * n_t,
+                "type": p_type + [None] * n_t,
+                "tfidf": p_tfidf + [None] * n_t,
+                "length": p_len + [None] * n_t,
+                "head_noun": p_head + [None] * n_t,
+                "subj": [None] * n_p + t_s,
+                "pred": [None] * n_p + t_p,
+                "obj": [None] * n_p + t_o,
+            }
+        )
 
 
 def extract_phrases_and_triples(
