@@ -8,9 +8,11 @@ Scale notes (100 TB):
     ships once per executor, the query stream is the distributed side,
     and each Arrow batch does one BLAS gemm instead of millions of
     interpreted per-pair expression evaluations. This is the chunked
-    brute-force pattern; when the corpus side itself no longer fits an
-    executor (beyond ~10^7 x d), the LSH-bucketed variant below (or an
-    IVF coarse quantizer) is the path.
+    brute-force pattern; ``cosine_topk_blocked`` is the same computation
+    with NO driver-side collect (block-pair gemm + partial-top-k merge,
+    result-identical) for corpora past executor memory; past exactness
+    budgets entirely, the LSH-bucketed variant below (or an IVF coarse
+    quantizer) is the path.
   * The LSH path buckets vectors by random-hyperplane signs (seeded,
     data-independent) and probes only matching buckets: the bucket join
     shuffles signatures, not the full vector set, and the candidate set
@@ -129,6 +131,155 @@ def near_dup_pairs_cosine(vectors: DataFrame, min_cos: float = 0.95) -> DataFram
         _default_parallelism(vectors), "vec_id"
     )
     return q.mapInPandas(run, schema="vec_a long, vec_b long, cos double")
+
+
+def _pack_blocks(
+    vectors: DataFrame, n_blocks: int, block_col: str, prefix: str
+) -> DataFrame:
+    """(block_id, n, ids:binary, mat:binary) — each block's vectors packed
+    into ONE l2-normalized float64 numpy matrix, serialized once. Block
+    assignment is pmod(xxhash64(vec_id)) — data-independent, deterministic,
+    resume-safe. Ids sorted within block for deterministic layout."""
+
+    def pack(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(ids, kind="stable")
+        ids, m = ids[order], m[order]
+        return pd.DataFrame(
+            {
+                f"{prefix}b": [int(pdf[block_col].iloc[0])],
+                f"{prefix}n": [int(ids.shape[0])],
+                f"{prefix}ids": [ids.tobytes()],
+                f"{prefix}mat": [m.tobytes()],
+            }
+        )
+
+    schema = (
+        f"{prefix}b long, {prefix}n long, {prefix}ids binary, {prefix}mat binary"
+    )
+    return (
+        vectors.select("vec_id", "embedding")
+        .withColumn(block_col, F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)))
+        .groupBy(block_col)
+        .applyInPandas(pack, schema=schema)
+    )
+
+
+def _block_pairs(vectors: DataFrame, n_blocks: int) -> DataFrame:
+    """All (query-block × corpus-block) pairs with both packed payloads
+    attached: the tiny n_blocks² keyspace is cross-joined FIRST, each
+    payload attached by key, so every downstream task holds exactly two
+    bounded block matrices."""
+    sess = vectors.sparkSession
+    par = _default_parallelism(vectors)
+    qb = _pack_blocks(vectors, n_blocks, "__qb", "q")
+    cb = _pack_blocks(vectors, n_blocks, "__cb", "c")
+    return (
+        sess.range(n_blocks).select(F.col("id").alias("qb"))
+        .crossJoin(sess.range(n_blocks).select(F.col("id").alias("cb")))
+        .join(qb, "qb")
+        .join(cb, "cb")
+        .repartition(max(par, n_blocks), "qb", "cb")
+    )
+
+
+def _unpack(row):
+    import numpy as np
+
+    qids = np.frombuffer(row["qids"], dtype=np.int64)
+    qm = np.frombuffer(row["qmat"], dtype=np.float64).reshape(int(row["qn"]), -1)
+    cids = np.frombuffer(row["cids"], dtype=np.int64)
+    cm = np.frombuffer(row["cmat"], dtype=np.float64).reshape(int(row["cn"]), -1)
+    return qids, qm, cids, cm
+
+
+def cosine_topk_blocked(
+    vectors: DataFrame, k: int = 5, n_blocks: int | None = None
+) -> DataFrame:
+    """Exact top-k cosine neighbors WITHOUT any driver-side collect: the
+    100 TB shape of the brute-force path (result-identical to
+    cosine_topk_bruteforce; pinned by tests/test_similarity.py).
+
+    Plan: corpus AND queries are packed into per-block numpy matrices
+    (applyInPandas — one shuffle each, block = pmod(xxhash64(vec_id))),
+    the tiny (qb, cb) block-pair keyspace is cross-joined FIRST and each
+    payload attached by key, so every task holds exactly two block
+    matrices (~block_rows x d float64, bounded) and runs ONE gemm per
+    block pair. Per-pair partial top-k rows then merge through a
+    per-query window — k rows per (query, corpus-block) candidate
+    stream, never the full N. Lazy end-to-end: no collect, no broadcast
+    built at plan-construction time; every per-pair dot product is
+    bitwise-identical to the full-matrix gemm (same contraction order),
+    so ranks match the broadcast baseline exactly."""
+    n_blocks = n_blocks or _default_parallelism(vectors)
+    pairs = _block_pairs(vectors, n_blocks)
+
+    def run(batches) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_q, out_n, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                qids, qm, cids, cm = _unpack(row)
+                cos = qm @ cm.T  # (qn, cn)
+                kk = min(k + 1, cos.shape[1])  # +1 absorbs a self-match
+                for i in range(cos.shape[0]):
+                    c = cos[i]
+                    order = np.lexsort((cids, -c))[:kk]
+                    keep = order[cids[order] != qids[i]][:k]
+                    out_q.extend([qids[i]] * len(keep))
+                    out_n.extend(cids[keep])
+                    out_c.extend(c[keep])
+            yield pd.DataFrame(
+                {"vec_id": out_q, "neighbor_id": out_n, "cos": out_c}
+            )
+
+    partial = pairs.mapInPandas(
+        run, schema="vec_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id")
+    )
+
+
+def near_dup_pairs_blocked(
+    vectors: DataFrame, min_cos: float = 0.95, n_blocks: int | None = None
+) -> DataFrame:
+    """Collect-free variant of ``near_dup_pairs_cosine`` (same blocked
+    shape as ``cosine_topk_blocked``). Each unordered pair (a < b) lands
+    in exactly ONE (block(a), block(b)) task — emitted where the query
+    side holds `a` — so no dedup/window is needed; result-identical to
+    the broadcast baseline (pinned in tests/test_similarity.py)."""
+    n_blocks = n_blocks or _default_parallelism(vectors)
+    pairs = _block_pairs(vectors, n_blocks)
+    thr = float(min_cos)
+
+    def run(batches) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                qids, qm, cids, cm = _unpack(row)
+                cos = qm @ cm.T
+                for i, qid in enumerate(qids):
+                    mask = (cids > qid) & (cos[i] >= thr)
+                    out_a.extend([qid] * int(mask.sum()))
+                    out_b.extend(cids[mask])
+                    out_c.extend(np.round(cos[i][mask], 4))
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cos": out_c})
+
+    return pairs.mapInPandas(run, schema="vec_a long, vec_b long, cos double")
 
 
 def _salted_group_topk(assigned: DataFrame, bucket_col: str, fn, n_salts: int) -> DataFrame:

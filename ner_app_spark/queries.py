@@ -474,11 +474,15 @@ def q_simhash_near_dup(spark, sf_dir):
 # --------------------------------------------------------------- similarity
 
 def q_ann_cosine_topk(spark, sf_dir):
-    return similarity.cosine_topk_bruteforce(_t(spark, sf_dir, "embeddings"), k=5)
+    # round-3: the registry entry runs the collect-free BLOCKED exact
+    # path (the 100 TB shape — no driver-side corpus collect); it is
+    # result-identical to cosine_topk_bruteforce, which stays as the
+    # in-repo exactness oracle (tests/test_similarity.py pins identity).
+    return similarity.cosine_topk_blocked(_t(spark, sf_dir, "embeddings"), k=5)
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    return similarity.near_dup_pairs_cosine(
+    return similarity.near_dup_pairs_blocked(
         _t(spark, sf_dir, "embeddings"), min_cos=0.35
     )
 

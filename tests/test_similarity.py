@@ -4,9 +4,11 @@ variants (LSH, IVF) measured by recall against the exact baseline."""
 from __future__ import annotations
 
 from ner_app_spark.operators.similarity import (
+    cosine_topk_blocked,
     cosine_topk_bruteforce,
     ivf_topk,
     lsh_bucket_topk,
+    near_dup_pairs_blocked,
     near_dup_pairs_cosine,
 )
 
@@ -37,6 +39,20 @@ def test_bruteforce_shape_and_no_self(spark):
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in ranks.values())
 
 
+def test_blocked_identical_to_bruteforce(spark):
+    """The collect-free blocked path must reproduce the broadcast
+    baseline EXACTLY — same (vec_id, rank, neighbor_id) rows. Run at two
+    block counts (one that divides the corpus unevenly) to pin that the
+    result is block-partition-invariant."""
+    emb = _emb(spark)
+    want = sorted(map(tuple, cosine_topk_bruteforce(emb, k=5).collect()))
+    for n_blocks in (7, None):
+        got = sorted(
+            map(tuple, cosine_topk_blocked(emb, k=5, n_blocks=n_blocks).collect())
+        )
+        assert got == want, f"n_blocks={n_blocks}"
+
+
 def test_lsh_and_ivf_recall_vs_exact(spark):
     emb = _emb(spark)
     exact = _topk_sets(cosine_topk_bruteforce(emb, k=5))
@@ -65,3 +81,7 @@ def test_near_dup_pairs_symmetric_threshold(spark):
     pairs = near_dup_pairs_cosine(emb, min_cos=0.30).collect()
     assert all(r["vec_a"] < r["vec_b"] for r in pairs)
     assert all(r["cos"] >= 0.30 for r in pairs)
+    # collect-free blocked variant: identical pair set + scores, and
+    # each pair emitted exactly once (no window/dedup in that plan)
+    blocked = near_dup_pairs_blocked(emb, min_cos=0.30, n_blocks=7).collect()
+    assert sorted(map(tuple, blocked)) == sorted(map(tuple, pairs))
