@@ -66,6 +66,7 @@ def main() -> int:
         **counters,
         "stages": [m.__dict__ for m in out.metrics],
     }))
+    out.cleanup()
     spark.stop()
     return 0
 

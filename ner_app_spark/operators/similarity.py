@@ -170,6 +170,18 @@ def _pack_blocks(
     )
 
 
+def _default_n_blocks(vectors: DataFrame) -> int:
+    """The gemm stage runs n_blocks² tasks, so ceil(sqrt(2·parallelism))
+    already yields ~2 tasks per core — the per-task Python-worker
+    round-trip dominates past that (measured: 32 blocks = 1024 tasks ran
+    5× slower than 8 blocks = 64 tasks on a 2k-vector corpus). Callers
+    raise n_blocks only to BOUND per-task memory (2 · N/n_blocks · d · 8
+    bytes), which is what governs at real corpus sizes."""
+    import math
+
+    return max(2, math.ceil(math.sqrt(2 * _default_parallelism(vectors))))
+
+
 def _block_pairs(vectors: DataFrame, n_blocks: int) -> DataFrame:
     """All (query-block × corpus-block) pairs with both packed payloads
     attached: the tiny n_blocks² keyspace is cross-joined FIRST, each
@@ -216,7 +228,7 @@ def cosine_topk_blocked(
     built at plan-construction time; every per-pair dot product is
     bitwise-identical to the full-matrix gemm (same contraction order),
     so ranks match the broadcast baseline exactly."""
-    n_blocks = n_blocks or _default_parallelism(vectors)
+    n_blocks = n_blocks or _default_n_blocks(vectors)
     pairs = _block_pairs(vectors, n_blocks)
 
     def run(batches) -> Iterator:
@@ -259,7 +271,7 @@ def near_dup_pairs_blocked(
     in exactly ONE (block(a), block(b)) task — emitted where the query
     side holds `a` — so no dedup/window is needed; result-identical to
     the broadcast baseline (pinned in tests/test_similarity.py)."""
-    n_blocks = n_blocks or _default_parallelism(vectors)
+    n_blocks = n_blocks or _default_n_blocks(vectors)
     pairs = _block_pairs(vectors, n_blocks)
     thr = float(min_cos)
 

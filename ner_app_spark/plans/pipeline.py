@@ -39,6 +39,32 @@ class PipelineOutput:
     nodes: DataFrame
     edges: DataFrame
     metrics: list[StageMetrics] = field(default_factory=list)
+    #: scratch parquet dir backing the heavy stages of a no-workdir run
+    #: (None when checkpointing to a workdir); the frames above read from
+    #: it, so call cleanup() only once you are done with them.
+    scratch: str | None = None
+
+    def cleanup(self) -> None:
+        import shutil
+
+        if self.scratch:
+            shutil.rmtree(self.scratch, ignore_errors=True)
+            self.scratch = None
+
+
+def _scratch_base() -> str:
+    """tmpfs when it has >= 8 GiB free (same gate as session.py's
+    shuffle-dir rule), else /tmp."""
+    import os
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    try:
+        st = os.statvfs(base)
+        if st.f_bavail * st.f_frsize / 2**30 < 8.0:
+            base = "/tmp"
+    except OSError:
+        base = "/tmp"
+    return base
 
 
 def run_pipeline(
@@ -50,13 +76,30 @@ def run_pipeline(
     min_link_score: float = 0.5,
 ) -> PipelineOutput:
     """Run the full pipeline. With ``workdir`` set, the three heavy stages
-    (extracted/phrases/triples) checkpoint per-partition and resume."""
+    (extracted/phrases/triples) checkpoint per-partition and resume.
+
+    Without ``workdir``, each heavy stage is spilled ONCE to a scratch
+    parquet table and read back: the output frames fan out to ~7
+    consumers (links/canon/nodes/edges + the counters), and without a
+    materialization each action would re-execute the whole mapInPandas
+    extract. Parquet, not ``.cache()``, deliberately — the deserialized
+    cache write is DRAM-bandwidth-bound and anti-scales with cores,
+    while the parquet encode is CPU-bound and scales (measured, BENCH.md
+    §5); it is also the north-star shape (stages land in tables). The
+    caller owns ``PipelineOutput.cleanup()``."""
+    import tempfile
+
     ckpt = CheckpointManager(workdir, n_parts=n_parts) if workdir else None
     metrics: list[StageMetrics] = []
+    scratch = (
+        None if ckpt else tempfile.mkdtemp(prefix="ner_kg_", dir=_scratch_base())
+    )
 
     def stage(name: str, df: DataFrame, key: str) -> DataFrame:
         if ckpt is None:
-            return df
+            path = f"{scratch}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
         out, m = ckpt.run_stage(spark, name, df, key)
         metrics.append(m)
         return out
@@ -92,6 +135,7 @@ def run_pipeline(
         nodes=nodes,
         edges=edges,
         metrics=metrics,
+        scratch=scratch,
     )
 
 

@@ -80,3 +80,5 @@ def test_pipeline_checkpointed_equals_direct(spark, tmp_path):
     assert _rows(ck2.triples) == _rows(direct.triples)
     counters = pipeline_counters(ck2)
     assert counters["documents"] == 30 and counters["triples"] > 0
+    direct.cleanup()
+    assert direct.scratch is None

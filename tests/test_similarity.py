@@ -53,6 +53,29 @@ def test_blocked_identical_to_bruteforce(spark):
         assert got == want, f"n_blocks={n_blocks}"
 
 
+def test_blocked_edge_cases(spark):
+    """k past corpus size, one block, and more blocks than rows must all
+    degrade to the bruteforce answer (n-1 neighbors per vector)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [
+                [1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [-1.0, 0.0],
+            ],
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+    want = sorted(map(tuple, cosine_topk_bruteforce(emb, k=10).collect()))
+    assert len(want) == 4 * 3
+    for n_blocks in (1, 50):
+        got = sorted(
+            map(tuple, cosine_topk_blocked(emb, k=10, n_blocks=n_blocks).collect())
+        )
+        assert got == want, f"n_blocks={n_blocks}"
+
+
 def test_lsh_and_ivf_recall_vs_exact(spark):
     emb = _emb(spark)
     exact = _topk_sets(cosine_topk_bruteforce(emb, k=5))
