@@ -113,16 +113,43 @@ def aggregate_average(words: list[list[str]], score_fn=None) -> list[dict]:
     ]
 
 
+def artifact_score_fn(artifact_dir: str):
+    """Model hook backed by a shipped artifact (plans/artifacts.py, the
+    S6 ``save_pretrained`` analog): ``model.json`` carries per-label bias
+    multipliers — the stand-in for real weights — applied over the stub
+    logits and renormalized. Same provider signature a real checkpoint
+    loader would satisfy."""
+    import json
+    import os
+
+    with open(os.path.join(artifact_dir, "model.json"), encoding="utf-8") as f:
+        bias = json.load(f)["label_bias"]
+    mult = [float(bias.get(lbl, 1.0)) for lbl in LABELS]
+
+    def fn(subtoken: str) -> list[float]:
+        raw = [s * m for s, m in zip(_stub_scores(subtoken), mult)]
+        total = sum(raw)
+        return [v / total for v in raw]
+
+    return fn
+
+
 def ner_entities(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
     use_real_model: bool = False,
+    model_artifact_id: str | None = None,
 ) -> DataFrame:
     """docs -> (doc_id, entity_group, word, score): batched NER inference
     with average aggregation. Arrow batches in/out; the model never runs
-    per-row Python (one vectorized pass per batch)."""
+    per-row Python (one vectorized pass per batch).
+
+    ``model_artifact_id`` names an artifact already distributed with
+    ``plans.artifacts.ship_artifact``; each executor resolves it locally
+    (SparkFiles) and builds its score provider ONCE per task, so weights
+    ride the cluster's file-distribution channel, never the closure."""
     import re
 
     from ..sources.brat import subtokenize
@@ -142,13 +169,18 @@ def ner_entities(
                 if real is not None
                 else "transformers not available"
             )
+        score_fn = None
+        if model_artifact_id is not None:
+            from ..plans.artifacts import executor_artifact_dir
+
+            score_fn = artifact_score_fn(executor_artifact_dir(model_artifact_id))
         for pdf in batches:
             rows = {"doc_id": [], "entity_group": [], "word": [], "score": []}
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 words = [
                     subtokenize(w) for w in re.findall(r"\w+|[^\w\s]", str(text))
                 ]
-                for g in aggregate_average(words):
+                for g in aggregate_average(words, score_fn=score_fn):
                     rows["doc_id"].append(did)
                     rows["entity_group"].append(g["entity_group"])
                     rows["word"].append(g["word"])
