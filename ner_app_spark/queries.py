@@ -497,8 +497,9 @@ def _ann_with_recall_check(
     raise_error branch reddens the row if it collapses. The 0.10 gate
     mirrors tests/test_similarity.py — random synthetic embeddings are
     LSH's worst case (no cluster structure); random guessing scores
-    ~0.01."""
-    exact = similarity.cosine_topk_bruteforce(vectors, k=k).select(
+    ~0.01. The exact reference runs the collect-free blocked path
+    (result-identical to bruteforce), keeping the whole row lazy."""
+    exact = similarity.cosine_topk_blocked(vectors, k=k).select(
         "vec_id", "neighbor_id"
     )
     hit = exact.join(
