@@ -1,0 +1,53 @@
+"""Degenerate inputs through the full pipeline: zero pages, one page,
+and a corpus the language gate drops entirely. These are the launch
+surface's failure modes (a 10^12-row job WILL see empty partitions and
+all-filtered splits); every stage must produce empty typed frames, not
+exceptions."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ner_app_spark.plans.pipeline import pipeline_counters, run_pipeline
+from ner_app_spark.sources.pages import synth_pages_df
+
+
+def test_zero_pages(spark):
+    out = run_pipeline(spark, synth_pages_df(spark, 0, num_partitions=2))
+    counters = pipeline_counters(out)
+    assert counters == {
+        "documents": 0, "phrases": 0, "unique_phrase_types": 0,
+        "triples": 0, "links": 0, "nodes": 0, "edges": 0,
+    }
+    out.cleanup()
+
+
+def test_single_page(spark):
+    out = run_pipeline(spark, synth_pages_df(spark, 1, num_partitions=2))
+    counters = pipeline_counters(out)
+    assert counters["documents"] == 1
+    assert counters["phrases"] > 0 and counters["triples"] > 0
+    out.cleanup()
+
+
+def test_lang_gate_drops_everything(spark):
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["http://a", "http://b"],
+                "warc_ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+                "html": [b"<p>hello</p>", b"<p>world</p>"],
+                "text": ["hello there", "wide world"],
+                "lang": ["en", "de"],
+            }
+        )
+    )
+    out = run_pipeline(spark, pages)  # lang='ru' default: both gated out
+    counters = pipeline_counters(out)
+    # text extraction is lang-agnostic (the byte-identical invariant is
+    # per url); the lang gate sits on the ANALYSIS stage, so documents
+    # still counts the extracted pages while everything downstream is 0
+    assert counters["documents"] == 2
+    assert counters["phrases"] == 0 and counters["triples"] == 0
+    assert counters["links"] == 0 and counters["edges"] == 0
+    out.cleanup()
