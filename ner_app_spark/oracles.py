@@ -301,6 +301,134 @@ w AS (SELECT doc_id, tf.token, tf * idf AS w FROM tf JOIN idf USING (token)),
 nm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM w GROUP BY doc_id),
 wn AS (SELECT w.doc_id, token, w / nm AS wn FROM w JOIN nm USING (doc_id))"""
 
+
+
+#: exact top-5 cosine (self excluded) over probed candidates — shared tail
+#: of the two approximate-ANN oracles below. The approximate rows became
+#: fully hash-verifiable in round 3 because every stage is deterministic:
+#: the hyperplanes are md5-derived (reconstructed bit-exactly in SQL via
+#: hi*2^32+lo double assembly — one rounding, same as Python float(u)),
+#: bucket probing is pure integer/bit arithmetic, and cosine ranking uses
+#: the same list_dot_product form the green ann_cosine_topk oracle
+#: already hash-matches. Ties in |projection| / similarity would be the
+#: only cross-engine risk and are measure-zero on real-valued data.
+_LSH_BUCKET_TOPK_SQL = """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm FROM v),
+raw AS (
+  SELECT CAST(b.range AS INT) AS b, CAST(d.range AS INT) AS d,
+         md5('42:' || b.range || ':' || d.range) AS h
+  FROM range(6) b, range(64) d),
+uv AS (
+  SELECT b, d,
+    list_sum(list_transform([0,1,2,3], i ->
+      ((strpos('0123456789abcdef', substr(h, 2*i+1, 1)) - 1) * 16.0
+       + (strpos('0123456789abcdef', substr(h, 2*i+2, 1)) - 1)) * power(256.0, i))) AS lo,
+    list_sum(list_transform([4,5,6,7], i ->
+      ((strpos('0123456789abcdef', substr(h, 2*i+1, 1)) - 1) * 16.0
+       + (strpos('0123456789abcdef', substr(h, 2*i+2, 1)) - 1)) * power(256.0, i - 4))) AS hi
+  FROM raw),
+planes AS (
+  SELECT b,
+         list((hi * 4294967296.0 + lo) / 18446744073709551616.0 * 2.0 - 1.0
+              ORDER BY d) AS pw
+  FROM uv GROUP BY b),
+proj AS (
+  SELECT v.vec_id, p.b, list_dot_product(v.e, p.pw) AS pr
+  FROM v, planes p),
+own AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bkt
+  FROM proj GROUP BY vec_id),
+flips AS (
+  SELECT vec_id, b FROM (
+    SELECT vec_id, b,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY abs(pr) ASC, b ASC) AS rn
+    FROM proj) t
+  WHERE rn <= 3),
+qbuckets AS (
+  SELECT vec_id, bkt AS bucket FROM own
+  UNION
+  SELECT o.vec_id, xor(o.bkt, CAST(1 AS BIGINT) << f.b) AS bucket
+  FROM own o JOIN flips f USING (vec_id)),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, m.vec_id AS nid
+  FROM qbuckets q JOIN own m ON m.bkt = q.bucket
+  WHERE m.vec_id <> q.vec_id),
+approx AS (
+  SELECT qid, nid, rank FROM (
+    SELECT c.qid, c.nid, ROW_NUMBER() OVER (
+        PARTITION BY c.qid
+        ORDER BY list_dot_product(a.e, b2.e) / (a.nm * b2.nm) DESC, c.nid ASC
+      ) AS rank
+    FROM cand c
+    JOIN n a ON a.vec_id = c.qid
+    JOIN n b2 ON b2.vec_id = c.nid) t
+  WHERE rank <= 5),
+exact AS (
+  SELECT qid, nid FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, ROW_NUMBER() OVER (
+        PARTITION BY a.vec_id
+        ORDER BY list_dot_product(a.e, b.e) / (a.nm * b.nm) DESC, b.vec_id ASC
+      ) AS rank
+    FROM n a, n b WHERE a.vec_id <> b.vec_id) t
+  WHERE rank <= 5),
+stats AS (
+  SELECT ROUND(SUM(CASE WHEN ap.qid IS NOT NULL THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+  FROM exact e
+  LEFT JOIN (SELECT DISTINCT qid, nid FROM approx) ap USING (qid, nid))
+SELECT a.qid AS vec_id, CAST(a.rank AS BIGINT) AS rank, a.nid AS neighbor_id,
+       s.recall AS recall, CAST(1 AS INTEGER) AS "check"
+FROM approx a CROSS JOIN stats s"""
+
+_IVF_TOPK_SQL = """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm FROM v),
+cent AS (
+  SELECT vec_id AS cid, e, nm,
+         CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cell
+  FROM (SELECT * FROM n ORDER BY vec_id ASC LIMIT 16) t),
+sim AS (
+  SELECT v2.vec_id, c.cell,
+         list_dot_product(v2.e, c.e) / (v2.nm * c.nm) AS sim
+  FROM n v2, cent c),
+ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+  FROM sim),
+own AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id, cell FROM ranked WHERE rn <= 2),
+cand AS (
+  SELECT DISTINCT p.vec_id AS qid, m.vec_id AS nid
+  FROM probes p JOIN own m USING (cell)
+  WHERE m.vec_id <> p.vec_id),
+approx AS (
+  SELECT qid, nid, rank FROM (
+    SELECT c.qid, c.nid, ROW_NUMBER() OVER (
+        PARTITION BY c.qid
+        ORDER BY list_dot_product(a.e, b2.e) / (a.nm * b2.nm) DESC, c.nid ASC
+      ) AS rank
+    FROM cand c
+    JOIN n a ON a.vec_id = c.qid
+    JOIN n b2 ON b2.vec_id = c.nid) t
+  WHERE rank <= 5),
+exact AS (
+  SELECT qid, nid FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, ROW_NUMBER() OVER (
+        PARTITION BY a.vec_id
+        ORDER BY list_dot_product(a.e, b.e) / (a.nm * b.nm) DESC, b.vec_id ASC
+      ) AS rank
+    FROM n a, n b WHERE a.vec_id <> b.vec_id) t
+  WHERE rank <= 5),
+stats AS (
+  SELECT ROUND(SUM(CASE WHEN ap.qid IS NOT NULL THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 4) AS recall
+  FROM exact e
+  LEFT JOIN (SELECT DISTINCT qid, nid FROM approx) ap USING (qid, nid))
+SELECT a.qid AS vec_id, CAST(a.rank AS BIGINT) AS rank, a.nid AS neighbor_id,
+       s.recall AS recall, CAST(1 AS INTEGER) AS "check"
+FROM approx a CROSS JOIN stats s"""
+
+
 ORACLES: dict[str, str] = {
     "similar_docs_topk": f"""
 WITH {_SEARCH_CORPUS_CTE},
@@ -680,6 +808,8 @@ SELECT vec_a, vec_b, ROUND(cos, 4) AS cos FROM (
   FROM n a, n b WHERE a.vec_id < b.vec_id) t
 WHERE cos >= 0.35
 """,
+    "lsh_bucket_topk": _LSH_BUCKET_TOPK_SQL,
+    "ivf_topk": _IVF_TOPK_SQL,
     "lang_id": f"""
 WITH tok AS ({_TOK_CTE}),
 scores AS ({_lang_union()}),
