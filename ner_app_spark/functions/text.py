@@ -75,9 +75,15 @@ def lemma_ngrams(text: str, max_n: int = 3) -> list[str]:
     wordlike = WORDLIKE_RE.fullmatch
 
     def flush() -> None:
-        n_run = len(run)
-        for n in range(1, max_n + 1):
-            for i in range(n_run - n + 1):
+        # unrolled for the production n<=3 (multiset and order identical
+        # to the generic sliding form; saves a slice+join per window)
+        out.extend(run)
+        if max_n >= 2:
+            out.extend(map(" ".join, zip(run, run[1:])))
+        if max_n >= 3:
+            out.extend(map(" ".join, zip(run, run[1:], run[2:])))
+        for n in range(4, max_n + 1):
+            for i in range(len(run) - n + 1):
                 out.append(" ".join(run[i : i + n]))
         run.clear()
 
