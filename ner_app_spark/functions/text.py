@@ -100,7 +100,7 @@ def lemma_ngrams(text: str, max_n: int = 3) -> list[str]:
 def pos_sequence(phrase: str) -> str:
     """Space-joined pattern letters of each word's POS (lemma re-parse
     semantics: the phrase is already lemmatized when classified)."""
-    return " ".join(M.pos_letter(w) for w in phrase.split())
+    return " ".join(map(M.pos_letter, phrase.split()))
 
 
 @lru_cache(maxsize=1 << 20)

@@ -207,8 +207,13 @@ def lemma_of(token: str) -> str:
     return hit[0] if hit else predict_oov(w)[0]
 
 
+@lru_cache(maxsize=1 << 20)
 def pos_of(word: str) -> str | None:
-    """parse(word)[0].tag.POS analogue (phrase_extractor.py:14-17)."""
+    """parse(word)[0].tag.POS analogue (phrase_extractor.py:14-17).
+
+    Memoized per worker process (same rationale and bound as
+    functions.text.lemmatize_token): pure function of the word over the
+    frozen table, and word frequencies are Zipfian."""
     w = word.lower()
     table = build_morphology()
     hit = table.get(w)
@@ -223,6 +228,7 @@ def pos_of(word: str) -> str | None:
     return predict_oov(w)[1]
 
 
+@lru_cache(maxsize=1 << 20)
 def pos_letter(word: str) -> str:
     """POS -> pattern letter with '?' fallback (consts.py:44-51)."""
     return POS_TAGS.get(pos_of(word) or "", "?")
