@@ -18,15 +18,17 @@ from __future__ import annotations
 
 import math
 from collections import Counter
-from dataclasses import dataclass
+from typing import NamedTuple
 
 from .functions import text as T
 
 TOP_K = 10_000
 
 
-@dataclass(frozen=True)
-class Phrase:
+class Phrase(NamedTuple):
+    # NamedTuple, not frozen dataclass: same named-field immutability,
+    # ~4x cheaper construction (no per-field object.__setattr__) — this
+    # init ran 25k times per 232-doc batch in the extract hot path
     phrase: str
     type: str
     tfidf: float
