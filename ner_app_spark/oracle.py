@@ -87,7 +87,9 @@ def triples_for_doc(url: str, phrases: list[Phrase]) -> list[tuple[str, str, str
        (templates/search.html.jinja badge rule).
     Returns (url, subj, pred, obj) rows, de-duplicated, sorted.
     """
-    rows: set[tuple[str, str, str, str]] = set()
+    # url is constant per call: dedupe/sort (subj, pred, obj) 3-tuples and
+    # prefix url on emit — same rows, same order, one less hashed field
+    rows: set[tuple[str, str, str]] = set()
     by_head: dict[str, list[str]] = {}
     for p in phrases:
         if p.head_noun:
@@ -107,9 +109,9 @@ def triples_for_doc(url: str, phrases: list[Phrase]) -> list[tuple[str, str, str
             raise ValueError(f"no NOUN in phrase {p.phrase!r}")
         for i, w in enumerate(words):
             if i != head_idx:
-                rows.add((url, p.head_noun, p.type, w))
+                rows.add((p.head_noun, p.type, w))
     for head, plist in by_head.items():
         uniq = sorted(set(plist))
         for a, b in zip(uniq, uniq[1:]):
-            rows.add((url, a, "synonym", b))
-    return sorted(rows)
+            rows.add((a, "synonym", b))
+    return [(url, s, pr, o) for s, pr, o in sorted(rows)]
