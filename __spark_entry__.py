@@ -44,12 +44,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query (42 of 50).
-    Intentionally absent (rows-only): the kg_* family (Arrow-batched
-    Python stages), lsh_bucket_topk / ivf_topk (approximate), and
-    multimodal_features (binary payloads). Every one of the 8 rows-only
-    entries embeds its OWN in-query oracle comparison with a raise_error
-    branch (fingerprint-vs-vendored-oracle, recall-vs-exact, CC
-    invariants, payload-recompute), so each can go RED, not just
-    rows-only-pass."""
+    """DuckDB-equivalent SQL for every SQL-expressible query (46 of 50;
+    kg_phrases / kg_triples gained full independent SQL replays of the
+    analyze pipeline in round 4). Intentionally absent (rows-only): the
+    4 genuinely non-SQL rows — kg_extracted_text (binary html decode),
+    kg_links / kg_canonical (iterative linking + connected components),
+    multimodal_features (binary payloads). Each of the 4 embeds its OWN
+    in-query oracle comparison with a raise_error branch (byte-identity,
+    exact-probe/threshold, CC invariants, payload-recompute), so each can
+    go RED, not just rows-only-pass."""
     return dict(ORACLES)

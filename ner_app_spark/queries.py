@@ -630,15 +630,13 @@ def q_checkpoint_resume(spark, sf_dir):
     )
 
 
-# ------------------------------------------------ KG pipeline (non-SQL ops)
+# --------------------------------------------------------- KG pipeline rows
 #
-# Self-checking rows (round-2; VERDICT "Next round" #7): the kg_* family
-# is not SQL-expressible, so the driver only counts rows. Each entry below
-# therefore embeds its own oracle comparison — a per-url fingerprint of
-# the distributed result joined against an independent single-process
-# recomputation (ner_app_spark.oracle inside one mapInPandas pass), with a
-# raise_error branch so a semantics drift turns the row RED instead of
-# silently passing rows-only.
+# kg_phrases / kg_triples are hash-verified by the driver against a full
+# DuckDB SQL replay of the analyze pipeline (oracles._kg_*_sql, round-3
+# VERDICT #1). The remaining kg_* rows (extracted_text, links, canonical)
+# embed red-capable in-query self-checks with a raise_error branch so a
+# semantics drift turns the row RED instead of silently passing rows-only.
 
 
 def _check_col(cond, msg: str):
@@ -647,59 +645,6 @@ def _check_col(cond, msg: str):
     return F.when(cond, F.lit(1)).otherwise(
         F.raise_error(F.lit(msg))
     ).alias("check")
-
-
-def _oracle_page_fingerprints(pages: DataFrame, what: str) -> DataFrame:
-    """(url, n_oracle, fp_oracle): per-page fingerprint of the vendored
-    pure-Python oracle's phrases or triples, computed in ONE independent
-    mapInPandas pass over the raw pages (lang/empty gates mirrored from
-    operators.extract.extract_phrases)."""
-
-    def run(batches):
-        import hashlib
-
-        import pandas as pd
-
-        from .oracle import analyze, triples_for_doc
-
-        for pdf in batches:
-            rows = {"url": [], "n_oracle": [], "fp_oracle": []}
-            for url, text, lang in zip(pdf["url"], pdf["text"], pdf["lang"]):
-                if lang != "ru" or len(text) == 0:
-                    continue
-                phrases = analyze(text)
-                if what == "phrases":
-                    items = sorted(
-                        f"{p.phrase}|{p.type}|{p.tfidf:.9f}|{p.head_noun}"
-                        for p in phrases
-                    )
-                else:
-                    items = sorted(
-                        f"{s}|{pr}|{o}"
-                        for (_u, s, pr, o) in triples_for_doc(url, phrases)
-                    )
-                rows["url"].append(url)
-                rows["n_oracle"].append(len(items))
-                rows["fp_oracle"].append(
-                    hashlib.md5("\n".join(items).encode()).hexdigest()
-                )
-            yield pd.DataFrame(rows, columns=["url", "n_oracle", "fp_oracle"])
-
-    return pages.select("url", "text", "lang").mapInPandas(
-        run, schema="url string, n_oracle long, fp_oracle string"
-    )
-
-
-def _fingerprint_agg(df: DataFrame, item) -> DataFrame:
-    """(url, n_spark, fp_spark): order-insensitive md5 fingerprint of the
-    per-url item set (sorted, newline-joined — same recipe as the oracle
-    side)."""
-    return df.groupBy("url").agg(
-        F.count("*").alias("n_spark"),
-        F.md5(
-            F.concat_ws("\n", F.sort_array(F.collect_list(item)))
-        ).alias("fp_spark"),
-    )
 
 
 def _compare_fps(spark_fp: DataFrame, oracle_fp: DataFrame, msg: str) -> DataFrame:
@@ -735,42 +680,29 @@ def q_kg_extracted_text(spark, sf_dir):
 
 
 def q_kg_phrases(spark, sf_dir):
-    # distributed phrases fingerprint vs vendored-oracle recomputation:
-    # catches partition loss/duplication and Arrow float drift, and raises
-    # (red driver row) on any mismatch
+    # Full phrase rows from the distributed Arrow path, hash-compared by
+    # the driver against an INDEPENDENT DuckDB SQL replay of the analyze
+    # pipeline (oracles._kg_phrases_sql — round-3 VERDICT #1): tokenize,
+    # run-split n-grams, c/sqrt(sum c^2), POS-pattern gate and head-noun
+    # scan all recomputed engine-side; only the frozen morphology dim is
+    # shared. tfidf is emitted raw (bit-identical IEEE ops both sides).
     pages = _pages_for(spark, sf_dir)
-    phrases = extract_phrases(pages, num_partitions=8)
-    spark_fp = _fingerprint_agg(
-        phrases,
-        F.concat_ws(
-            "|",
-            "phrase",
-            "type",
-            # format_string, not format_number: the latter inserts
-            # thousands-separator commas for values >= 1000 (round-2
-            # ADVICE #2); %.9f mirrors the oracle's f"{tfidf:.9f}"
-            F.format_string("%.9f", F.col("tfidf")),
-            "head_noun",
-        ),
-    )
-    oracle_fp = _oracle_page_fingerprints(pages, "phrases")
-    return _compare_fps(
-        spark_fp, oracle_fp, "kg_phrases: distributed result drifted from oracle"
+    return extract_phrases(pages, num_partitions=8).select(
+        "url", "phrase", "type", "tfidf",
+        F.col("length").cast("long").alias("length"),
+        "head_noun",
     )
 
 
 def q_kg_triples(spark, sf_dir):
-    # emit_triples is a genuinely different implementation (declarative
-    # joins/windows, operators/triples.py) from oracle.triples_for_doc —
-    # this comparison is the real §2.28 semantics gate, driver-visible
+    # emit_triples is the declarative implementation (joins/windows,
+    # operators/triples.py) — a genuinely different engine path from BOTH
+    # the fused Arrow emission (pinned equal in tests/test_fused.py) and
+    # the DuckDB SQL replay the driver hash-compares this row against
+    # (oracles._kg_triples_sql).
     pages = _pages_for(spark, sf_dir)
     phrases = extract_phrases(pages, num_partitions=8)
-    tri = emit_triples(phrases, morphology_df(spark))
-    spark_fp = _fingerprint_agg(tri, F.concat_ws("|", "subj", "pred", "obj"))
-    oracle_fp = _oracle_page_fingerprints(pages, "triples")
-    return _compare_fps(
-        spark_fp, oracle_fp, "kg_triples: emission drifted from §2.28 oracle"
-    )
+    return emit_triples(phrases, morphology_df(spark))
 
 
 def q_kg_links(spark, sf_dir):

@@ -72,6 +72,32 @@ def test_query_matches_duckdb_oracle(spark, duck, name):
     )
 
 
+def test_kg_sql_builders_track_python_oracle():
+    """DuckDB-only (no Spark): the SQL replay of the analyze pipeline
+    matches the vendored Python oracle bit-exactly — including float
+    equality on tfidf — at a page count OTHER than the driver's n=200,
+    proving the builders are general, not fitted to one corpus."""
+    from ner_app_spark import oracle, synth
+    from ner_app_spark.oracles import _kg_phrases_sql, _kg_triples_sql
+
+    n = 60
+    con = duckdb.connect()
+    got_p = set(map(tuple, con.execute(_kg_phrases_sql(n)).fetchall()))
+    got_t = set(map(tuple, con.execute(_kg_triples_sql(n)).fetchall()))
+    exp_p, exp_t = set(), set()
+    for p in synth.synth_pages(n):
+        if p["lang"] != "ru" or not p["text"]:
+            continue
+        ph = oracle.analyze(p["text"])
+        exp_p |= {
+            (p["url"], x.phrase, x.type, x.tfidf, x.length, x.head_noun)
+            for x in ph
+        }
+        exp_t |= set(oracle.triples_for_doc(p["url"], ph))
+    assert got_p == exp_p
+    assert got_t == exp_t
+
+
 def test_every_query_runs_and_is_nonempty(spark):
     """Rows-only check for entries without a SQL oracle."""
     for name, fn in QUERIES.items():
