@@ -39,27 +39,11 @@ def _tokens_arr(text_col: str = "text") -> str:
     return f"regexp_extract_all(lower({text_col}), '{TOKEN_SQL_RE}', 0)"
 
 
-def _shingles_expr(n: int, text_col: str = "text") -> str:
-    """Word n-gram shingles as a Spark SQL expression."""
-    arr = _tokens_arr(text_col)
-    parts = ", ".join(f"__arr[i + {j}]" for j in range(n))
-    return (
-        f"CASE WHEN size({arr}) >= {n} THEN "
-        f"transform(sequence(0, size({arr}) - {n}), i -> concat_ws(' ', {parts})) "
-        f"ELSE array() END"
-    ).replace("__arr", f"({arr})")
-
-
-def with_shingles(docs: DataFrame, n: int = 2) -> DataFrame:
-    return docs.select("doc_id", F.expr(_shingles_expr(n)).alias("shingles"))
-
-
 def explode_shingles(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
     """(doc_id, sh): one row per word n-gram shingle — posexplode +
     positional access + concat_ws, fully whole-stage-codegen'd (the
     ``transform(sequence(...))`` array form runs on the interpreted
-    expression path, ~2.3x slower; see BENCH.md platform probes). Same
-    multiset as ``explode(with_shingles(...).shingles)``."""
+    expression path, ~2.3x slower; see BENCH.md platform probes)."""
     pos = docs.select(
         "doc_id", F.expr(_tokens_arr(text_col)).alias("__t")
     ).select("doc_id", "__t", F.posexplode("__t").alias("__i", "__w"))

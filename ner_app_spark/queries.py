@@ -277,8 +277,8 @@ def q_term_sort(spark, sf_dir):
     # noun of a two-word phrase); rank pins the ordering for the
     # order-insensitive hash compare
     terms = (
-        _t(spark, sf_dir, "documents")
-        .select(F.explode(F.expr(dedup._shingles_expr(2))).alias("text"))
+        dedup.explode_shingles(_t(spark, sf_dir, "documents"), 2)
+        .select(F.col("sh").alias("text"))
         .distinct()
         .withColumn("head_noun", F.element_at(F.split("text", " "), 2))
     )
@@ -427,8 +427,8 @@ def q_graph_merge(spark, sf_dir):
     tgt_nodes = nodes_for(0, "target")
     src_nodes = nodes_for(1, "source")
     src_edges = (
-        docs.filter(F.col("doc_id") % 2 == 1)
-        .select(F.explode(F.expr(dedup._shingles_expr(2))).alias("bg"))
+        dedup.explode_shingles(docs.filter(F.col("doc_id") % 2 == 1), 2)
+        .select(F.col("sh").alias("bg"))
         .distinct()
         .select(F.split("bg", " ").alias("p"))
         .select(

@@ -127,6 +127,22 @@ def test_no_partitionless_window_in_any_query(spark):
     assert not offenders, offenders
 
 
+def test_no_interpreted_hof_in_any_query(spark):
+    """Higher-order array expressions (transform/aggregate/zip_with/
+    filter(lambda)) run on Spark's interpreted expression path — measured
+    ~2.3x slower than codegen explode+agg on this host (BENCH.md probes),
+    catastrophic in per-pair inner loops. Round-3 VERDICT #4: zero
+    lambdafunction() in ALL 50 registry plans ('lambdafunction' is the
+    unambiguous physical-plan marker for every HOF)."""
+    offenders = []
+    for name, fn in QUERIES.items():
+        plan = _physical(fn(spark, SF_DIR))
+        if "lambdafunction" in plan:
+            line = next(l for l in plan.splitlines() if "lambdafunction" in l)
+            offenders.append((name, line.strip()[:120]))
+    assert not offenders, offenders
+
+
 def test_global_topk_plans_as_take_ordered(spark):
     """similar_docs_topk / sentence_search global top-k must be a partial
     top-k reduction (TakeOrderedAndProject), not a global sort."""
