@@ -17,7 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ner_app_spark.oracles import ORACLES
+from ner_app_spark.oracles import oracle_sql_map
 from ner_app_spark.queries import QUERIES
 
 
@@ -53,4 +53,4 @@ def oracle_sql() -> dict[str, str]:
     in-query oracle comparison with a raise_error branch (byte-identity,
     exact-probe/threshold, CC invariants, payload-recompute), so each can
     go RED, not just rows-only-pass."""
-    return dict(ORACLES)
+    return oracle_sql_map()

@@ -38,17 +38,12 @@ def _force(df) -> int:
 
 
 def _sink_dir() -> str:
-    """Scratch dir for the kg job's materialized fused table: tmpfs when
-    it has headroom (same gate as session.py's shuffle-dir rule), else
-    /tmp. On a real cluster this is the Iceberg warehouse."""
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    try:
-        st = os.statvfs(base)
-        if st.f_bavail * st.f_frsize / 2**30 < 8.0:
-            base = "/tmp"
-    except OSError:
-        base = "/tmp"
-    return os.path.join(base, f"ner_app_spark_bench_sink_{os.getpid()}")
+    """Scratch dir for the kg job's materialized fused table (tmpfs-gated
+    via the shared session.scratch_base helper). On a real cluster this is
+    the Iceberg warehouse."""
+    from ner_app_spark.session import scratch_base
+
+    return os.path.join(scratch_base(), f"ner_app_spark_bench_sink_{os.getpid()}")
 
 
 def kg_pipeline_counts(spark, n_pages: int, n_parts: int | None = None) -> dict:
@@ -107,9 +102,12 @@ def kg_pipeline_counts(spark, n_pages: int, n_parts: int | None = None) -> dict:
         "triples": n_triples,
         "links": n_links,
         "stage_sec": {
-            "extract": round(t1 - t0, 1),
-            "triples": round(t2 - t1, 1),
-            "links": round(t3 - t2, 1),
+            # 'extract' = fused compute + parquet sink write (inseparable
+            # without recomputing); 'triples' = per-kind counts from the
+            # sink; 'links' = the linking join tree over the sink
+            "extract_sink": round(t1 - t0, 3),
+            "triples": round(t2 - t1, 3),
+            "links": round(t3 - t2, 3),
         },
     }
 
@@ -305,10 +303,25 @@ def run_scaling() -> dict:
     t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
     e8, e32 = extract[8]["wall_sec"], extract[32]["wall_sec"]
     docs = results[32]["docs"]
+    # Per-stage decomposition at BOTH parallelism levels (round-3 VERDICT
+    # #2: the "compute fraction scales, the residual is single-box DRAM"
+    # argument as machine-checkable data, not prose). Stage walls come
+    # from the min-wall full-job run at each level, so each level's
+    # decomposition is internally consistent.
+    stage8 = results[8].get("stage_sec", {})
+    stage32 = results[32].get("stage_sec", {})
+    per_stage_eff = {
+        k: round((stage8[k] / stage32[k]) / 4.0, 4)
+        for k in stage32
+        if stage8.get(k) and stage32.get(k)
+    }
     return {
         "metric": "scaling_efficiency_8_to_32_cores",
         "value": round((t8 / t32) / 4.0, 4),
         "extract_only_efficiency": round((e8 / e32) / 4.0, 4),
+        "stage_sec_8": stage8,
+        "stage_sec_32": stage32,
+        "per_stage_efficiency": per_stage_eff,
         "unit": "efficiency",
         "sf": sf,
         "scaling_pages": n_pages,

@@ -160,11 +160,38 @@ _OOV_NOUN_RULES: tuple[tuple[str, str | None], ...] = (
     ("ям", "я"), ("ам", None),
     ("ии", "ия"), ("ия", "ия"), ("ие", "ие"), ("ию", "ия"),
     ("ья", "ья"), ("ье", "ье"), ("ью", "ья"),
-    ("ей", "я"), ("ею", "я"), ("ом", ""), ("ем", ""), ("ой", None),
+    # 'ей'/'ею' are the soft-series endings: the nominative depends on the
+    # STEM class (_soft_series_nominative), not the suffix alone —
+    # round-3 ADVICE #4 (stem+'я' fabricated non-words like 'предыдущя')
+    ("ей", "SOFT"), ("ею", "SOFT"), ("ом", ""), ("ем", ""), ("ой", None),
     ("ою", None), ("ов", ""), ("ев", ""),
     ("ы", None), ("и", None), ("е", None), ("у", None), ("ю", None),
     ("а", None), ("я", None), ("й", "й"), ("ь", "ь"),
 )
+
+
+_CONSONANTS = set("бвгджзйклмнпрстфхцчшщ")
+_HUSHING = set("жшщч")
+_PARTICIPLE_TAILS = ("ущ", "ющ", "ащ", "ящ", "вш")
+
+
+def _soft_series_nominative(stem: str) -> tuple[str, str]:
+    """(normal_form, POS) for a word in '-ей'/'-ею' (round-3 ADVICE #4).
+    The suffix alone is ambiguous; the stem class decides:
+      * participle/adjective stems (-ущ/-ющ/-ащ/-ящ/-вш) -> stem+'ий',
+        ADJF (предыдущей -> предыдущий, текущей -> текущий);
+      * hushing-final or consonant-cluster stems -> soft-sign feminine
+        nominative stem+'ь' (ночей -> ночь, вещей -> вещь,
+        мыслей -> мысль);
+      * else the soft-feminine 'я' declension (семей -> семья class)."""
+    if stem.endswith(_PARTICIPLE_TAILS):
+        return stem + "ий", "ADJF"
+    if stem and (
+        stem[-1] in _HUSHING
+        or (len(stem) >= 2 and stem[-1] in _CONSONANTS and stem[-2] in _CONSONANTS)
+    ):
+        return stem + "ь", "NOUN"
+    return stem + "я", "NOUN"
 
 
 def _fem_ka_stem(stem: str) -> bool:
@@ -192,6 +219,8 @@ def predict_oov(w: str) -> tuple[str, str | None]:
     for suf, nom in _OOV_NOUN_RULES:
         if w.endswith(suf) and len(w) - len(suf) >= 3:
             stem = w[: -len(suf)]
+            if nom == "SOFT":
+                return _soft_series_nominative(stem)
             if nom is None:
                 nom = "а" if _fem_ka_stem(stem) else ""
             return stem + nom, "NOUN"

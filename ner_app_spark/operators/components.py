@@ -62,19 +62,50 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 25,
+    workdir: str | None = None,
+    n_parts: int = 16,
+    metrics_out: list | None = None,
+) -> DataFrame:
     """edges(src long, dst long) -> (id long, component long) where
     component is the minimum node id of the component. Nodes that appear
-    in no edge are the caller's concern (left-join + coalesce)."""
-    e = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
+    in no edge are the caller's concern (left-join + coalesce).
+
+    Lineage truncation per round (plans otherwise double in depth and the
+    optimizer wall explodes) has two modes — round-3 VERDICT #6:
+      * default: ``localCheckpoint`` — blocks live on executors; right
+        for local mode and fastest, but an executor loss mid-run kills
+        the job (trade-off documented in PLANS.md §failure-tolerance);
+      * ``workdir``: every round goes through the manifest-backed
+        per-partition checkpoint (plans/checkpoint.py) — a killed job
+        re-invoked with the same workdir resumes from the last published
+        round, recomputing only rounds whose manifest never committed
+        (kill-mid-iteration test: tests/test_checkpoint_resume.py).
+    """
+    if workdir:
+        from ..plans.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(workdir, n_parts=n_parts)
+
+        def persist(df: DataFrame, name: str) -> DataFrame:
+            out, m = ckpt.run_stage(df.sparkSession, name, df, key="src")
+            if metrics_out is not None:
+                metrics_out.append(m)
+            return out.drop("part_id")
+    else:
+
+        def persist(df: DataFrame, name: str) -> DataFrame:
+            return df.localCheckpoint()
+
+    e = persist(
+        edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct(),
+        "cc_init",
     )
     prev = _fingerprint(e)
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+    for i in range(max_iter):
+        e = persist(_small_star(_large_star(e)), f"cc_round_{i:02d}")
         cur = _fingerprint(e)
         if cur == prev:
             break

@@ -99,6 +99,67 @@ def _decode_wav_header(payload: bytes) -> dict | None:
     return {"width": None, "height": None, "n_frames": data_size // block_align}
 
 
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _decode_gif_header(payload: bytes) -> dict | None:
+    """Real (dependency-free) GIF decode: width/height are the LE uint16s
+    of the logical screen descriptor (offsets 6/8), and n_frames counts
+    image descriptors (0x2C) by walking the block stream per the GIF89a
+    spec — global/local color tables skipped by their flag sizes,
+    extensions (0x21) and image data skipped sub-block by sub-block.
+    Returns None if not a GIF or the walk runs off a malformed stream."""
+    if len(payload) < 13 or payload[0:6] not in GIF_MAGICS:
+        return None
+    w, h = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        pos += 3 * (2 << (flags & 0x07))
+    frames = 0
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(payload):
+            size = payload[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+        return p
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte then sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif b == 0x2C:  # image descriptor
+            frames += 1
+            if pos + 10 > len(payload):
+                return None
+            lflags = payload[pos + 9]
+            pos += 10
+            if lflags & 0x80:  # local color table
+                pos += 3 * (2 << (lflags & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = skip_subblocks(pos)
+        else:
+            return None  # malformed stream
+    if frames == 0:
+        return None
+    return {"width": w, "height": h, "n_frames": frames}
+
+
+def _decode_bmp_header(payload: bytes) -> dict | None:
+    """Real (dependency-free) BMP decode of the BITMAPINFOHEADER:
+    'BM' magic, biWidth / biHeight as LE int32 at offsets 18 / 22
+    (height may be negative for top-down DIBs — absolute value)."""
+    if len(payload) < 26 or payload[0:2] != b"BM":
+        return None
+    w, h = struct.unpack("<ii", payload[18:26])
+    return {"width": w, "height": abs(h), "n_frames": 1}
+
+
 def _md5_features(payload: bytes) -> list[float]:
     """Deterministic FEATURE_DIM-float embedding derived from md5(payload)
     — the feature-extraction model hook (a real encoder ships here in
@@ -112,11 +173,18 @@ def _md5_features(payload: bytes) -> list[float]:
 
 
 def _decode_stub(payload: bytes, kind: str) -> dict:
-    """Decode dispatch: REAL header parse for PNG (IHDR width/height) and
-    WAV (RIFF sample-frame count); md5-derived deterministic fake for any
-    other container (the remaining codec stub — swap via
+    """Decode dispatch: REAL header parse for PNG (IHDR width/height),
+    WAV (RIFF sample-frame count), GIF (logical screen descriptor +
+    frame-count block walk) and BMP (InfoHeader) — every fixture kind
+    decodes real metadata; the md5-derived deterministic fake remains
+    only for genuinely opaque payloads (the codec stub — swap via
     _try_real_decoder()). Feature vector is md5-derived in all lanes."""
-    real = _decode_png_header(payload) or _decode_wav_header(payload)
+    real = (
+        _decode_png_header(payload)
+        or _decode_wav_header(payload)
+        or _decode_gif_header(payload)
+        or _decode_bmp_header(payload)
+    )
     if real is not None:
         return {**real, "feature": _md5_features(payload)}
     h = hashlib.md5(payload).digest()
@@ -202,11 +270,30 @@ def synth_wav(n_samples: int, channels: int = 2, bits: int = 16) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def synth_gif(width: int, height: int, n_frames: int = 1) -> bytes:
+    """Minimal deterministic GIF89a: logical screen descriptor (no global
+    color table), then per frame a graphic-control extension + image
+    descriptor (no local table) + a tiny LZW data sub-block, trailer."""
+    out = b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+    for _ in range(n_frames):
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: 4-byte block + term
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out += b"\x02\x02\x4c\x01\x00"  # LZW min code 2, one 2-byte sub-block
+    return out + b"\x3b"
+
+
+def synth_bmp(width: int, height: int) -> bytes:
+    """Minimal deterministic BMP: BITMAPFILEHEADER + BITMAPINFOHEADER
+    (pixel data omitted — header-only fixture, like the PNG)."""
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0, 0, 0, 0)
+    return b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 14 + 40) + info
+
+
 def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic media fixtures: every other image is a REAL PNG
-    header (IHDR-parsed downstream) and every other audio a REAL WAV
-    (RIFF-parsed); the rest stay opaque fakes so the md5 stub lane is
-    exercised too."""
+    """Deterministic media fixtures: images alternate REAL PNG and REAL
+    BMP headers, every other audio is a REAL WAV (RIFF-parsed), every
+    other video a REAL multi-frame GIF (block-walked); the rest stay
+    opaque fakes so the md5 stub lane is exercised too."""
     kinds = ["image", "audio", "video"]
     from ..session import local_df
 
@@ -215,9 +302,14 @@ def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
         kind = kinds[i % 3]
         opaque = hashlib.md5(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
         if kind == "image" and i % 2 == 0:
-            payload, mime = synth_png(32 + i, 16 + i, trailer=opaque), "image/png"
+            if i % 4 == 0:
+                payload, mime = synth_png(32 + i, 16 + i, trailer=opaque), "image/png"
+            else:
+                payload, mime = synth_bmp(24 + i, 12 + i), "image/bmp"
         elif kind == "audio" and i % 2 == 1:
             payload, mime = synth_wav(100 + i * 7), "audio/wav"
+        elif kind == "video" and i % 2 == 0:
+            payload, mime = synth_gif(48 + i, 27 + i, n_frames=2 + i % 5), "image/gif"
         else:
             payload, mime = opaque, f"{kind}/x-fake"
         rows.append((i, kind, payload, mime))

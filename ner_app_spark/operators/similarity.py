@@ -26,17 +26,6 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-
-
-def _dot(a: str, b: str):
-    return F.expr(_DOT.format(a=a, b=b))
-
-
-def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
-    return df.withColumn(out, F.sqrt(_dot(vec_col, vec_col)))
-
-
 def _corpus_broadcast(vectors: DataFrame):
     """Collect the corpus to a normalized float64 matrix and broadcast it.
     The corpus side of a brute-force KNN is dimension-like: it must fit in
@@ -225,9 +214,12 @@ def cosine_topk_blocked(
     block pair. Per-pair partial top-k rows then merge through a
     per-query window — k rows per (query, corpus-block) candidate
     stream, never the full N. Lazy end-to-end: no collect, no broadcast
-    built at plan-construction time; every per-pair dot product is
-    bitwise-identical to the full-matrix gemm (same contraction order),
-    so ranks match the broadcast baseline exactly."""
+    built at plan-construction time. Rank identity with the broadcast
+    baseline is EMPIRICAL, pinned by tests at two block counts
+    (round-3 ADVICE #2: BLAS kernel/blocking can vary with matrix
+    shape, so a last-ulp drift on a near-tie could in principle flip a
+    rank on another corpus; ranks-not-scores output keeps any such flip
+    visible rather than hidden in float noise)."""
     n_blocks = n_blocks or _default_n_blocks(vectors)
     pairs = _block_pairs(vectors, n_blocks)
 
@@ -317,21 +309,28 @@ def _salted_group_topk(assigned: DataFrame, bucket_col: str, fn, n_salts: int) -
     )
 
 
-def ivf_topk(
-    vectors: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 2,
-    n_salts: int = 4,
-) -> DataFrame:
-    """(vec_id, rank, neighbor_id): IVF approximate top-k.
+#: IVF coarse-quantizer defaults, shared with the DuckDB oracle builder
+#: (oracles.py inlines the replayed trained centroids as VALUES)
+IVF_CELLS = 16
+IVF_TRAIN_ITERS = 3
 
-    Coarse quantizer: the ``n_cells`` lowest vec_ids act as centroid
-    seeds (deterministic stand-in for an offline k-means job — at scale
-    the centroid table is a separately-trained dimension). Every vector
-    is assigned to its nearest centroid cell map-side (one gemm per
-    Arrow batch); each QUERY probes its ``n_probe`` nearest cells. The
-    join is an equi-join on cell id, and ranking happens per cell with
-    a final global window merging the per-cell partials — candidates
-    per query ~ n_probe * N / n_cells.
-    """
+
+def _sim_batch_invariant(q, c):
+    """Cosine-numerator matrix (q rows x c rows) with a BATCH-INVARIANT
+    contraction: each (i, j) entry reduces one row's d elements via
+    numpy's pairwise sum, independent of how many other rows share the
+    call — unlike a BLAS gemm, whose kernel/blocking (and thus last-ulp
+    sums) varies with matrix shape. Used for k-means ASSIGNMENT so the
+    distributed trainer (arbitrary Arrow batch sizes) and the local
+    oracle replay produce bit-identical argmax cells. O(n*m*d) without
+    BLAS — fine for assignment against a small centroid table; the
+    search-path gemms stay BLAS."""
+    return (q[:, None, :] * c[None, :, :]).sum(axis=2)
+
+
+def _seed_centroids(vectors: DataFrame, n_cells: int):
+    """Deterministic seed codebook: the n_cells lowest vec_ids,
+    l2-normalized (n_cells rows collected — a dimension, not data)."""
     import numpy as np
 
     crows = sorted(
@@ -340,6 +339,129 @@ def ivf_topk(
     )
     cm = np.array([r["embedding"] for r in crows], dtype=np.float64)
     cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+    return cm
+
+
+def lloyd_centroids_local(ids, m, n_cells: int = IVF_CELLS,
+                          n_iters: int = IVF_TRAIN_ITERS):
+    """Local numpy replay of the distributed trainer (the oracle side and
+    the bit-identity pin in tests): spherical k-means, seeded from the
+    n_cells lowest vec_ids, batch-invariant assignment, per-cell mean
+    over members SORTED BY vec_id (pairwise sum over the sorted rows —
+    the same reduction the distributed per-cell group performs), empty
+    cells keep their previous centroid."""
+    import numpy as np
+
+    order = np.argsort(ids, kind="stable")
+    ids, m = np.asarray(ids)[order], np.asarray(m, dtype=np.float64)[order]
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cent = m[:n_cells].copy()
+    for _ in range(n_iters):
+        a = _sim_batch_invariant(m, cent).argmax(axis=1)
+        new = cent.copy()
+        for cell in range(n_cells):
+            mem = m[a == cell]
+            if len(mem) == 0:
+                continue
+            mu = mem.sum(axis=0) / len(mem)
+            new[cell] = mu / np.linalg.norm(mu)
+        cent = new
+    return cent
+
+
+def train_ivf_centroids(
+    vectors: DataFrame, n_cells: int = IVF_CELLS, n_iters: int = IVF_TRAIN_ITERS
+):
+    """Distributed spherical k-means for the IVF coarse quantizer
+    (round-3 VERDICT #5 — the trained codebook replacing the first-n-ids
+    stand-in). Per iteration: centroids broadcast -> map-side assignment
+    (mapInPandas, batch-invariant contraction) -> per-cell mean
+    (applyInPandas over the cell group, members sorted by vec_id so the
+    float reduction order is fixed) -> n_cells rows collected and
+    re-broadcast. Deterministic BY CONSTRUCTION, so the result is
+    bit-identical to ``lloyd_centroids_local`` (pinned by
+    tests/test_similarity.py) and the DuckDB oracle can inline the
+    replayed centroids.
+
+    Scale notes: the shuffle per iteration carries one row per vector
+    keyed by cell; at 100 TB the per-cell group would be a two-phase
+    tree (salted partial sums with a fixed merge order) rather than one
+    task per cell — same device as skew.py, noted in PLANS.md."""
+    import numpy as np
+
+    cent = _seed_centroids(vectors, n_cells)
+    sc = vectors.sparkSession.sparkContext
+    base = vectors.select("vec_id", "embedding").repartition(
+        _default_parallelism(vectors), "vec_id"
+    )
+
+    def cell_mean(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        mm = np.array(list(pdf["embedding"]), dtype=np.float64)
+        mm /= np.linalg.norm(mm, axis=1, keepdims=True)
+        mu = mm.sum(axis=0) / len(mm)
+        mu /= np.linalg.norm(mu)
+        return pd.DataFrame({"cell": [int(pdf["cell"].iloc[0])], "c": [mu.tolist()]})
+
+    for _ in range(n_iters):
+        bc = sc.broadcast(cent)
+
+        def assign(batches, bc=bc):
+            import pandas as pd
+
+            for pdf in batches:
+                q = np.array(list(pdf["embedding"]), dtype=np.float64)
+                qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+                a = _sim_batch_invariant(qn, bc.value).argmax(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cell": a.astype("int32"),
+                        "embedding": pdf["embedding"],
+                    }
+                )
+
+        rows = (
+            base.mapInPandas(
+                assign, schema="vec_id long, cell int, embedding array<float>"
+            )
+            .groupBy("cell")
+            .applyInPandas(cell_mean, schema="cell int, c array<double>")
+            .collect()
+        )
+        new = cent.copy()
+        for r in rows:
+            new[r["cell"]] = np.array(r["c"], dtype=np.float64)
+        cent = new
+    return cent
+
+
+def ivf_topk(
+    vectors: DataFrame, k: int = 5, n_cells: int = IVF_CELLS, n_probe: int = 2,
+    n_salts: int = 4, train_iters: int = IVF_TRAIN_ITERS,
+) -> DataFrame:
+    """(vec_id, rank, neighbor_id): IVF approximate top-k.
+
+    Coarse quantizer: ``train_iters`` rounds of deterministic distributed
+    Lloyd (``train_ivf_centroids``), seeded from the ``n_cells`` lowest
+    vec_ids; ``train_iters=0`` falls back to the raw seed codebook. The
+    training jobs run EAGERLY at DataFrame-construction time (each
+    iteration collects n_cells centroid rows — a dimension, not data);
+    at scale the centroid table is a separately-trained artifact this
+    stands in for. Every vector is assigned to its nearest centroid cell
+    map-side (one gemm per Arrow batch); each QUERY probes its
+    ``n_probe`` nearest cells. The join is an equi-join on cell id, and
+    ranking happens per cell with a final global window merging the
+    per-cell partials — candidates per query ~ n_probe * N / n_cells.
+    """
+    import numpy as np
+
+    if train_iters > 0:
+        cm = train_ivf_centroids(vectors, n_cells, train_iters)
+    else:
+        cm = _seed_centroids(vectors, n_cells)
     bc = vectors.sparkSession.sparkContext.broadcast(cm)
 
     def assign(batches) -> Iterator:

@@ -11,6 +11,8 @@ accumulation for money sums, ROUND(...,6) over libm-dependent ln.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from .operators.dedup import MAX_LSH_BUCKET, N_MINHASH_BANDS, simhash_sql
 from .operators.search import SEARCH_QUERY, SENT_QUERY, query_tokens
 from .operators.textquality import LANG_MARKERS, STOPWORDS
@@ -542,15 +544,41 @@ SELECT a.qid AS vec_id, CAST(a.rank AS BIGINT) AS rank, a.nid AS neighbor_id,
        s.recall AS recall, CAST(1 AS INTEGER) AS "check"
 FROM approx a CROSS JOIN stats s"""
 
+def _ivf_trained_cent_values() -> str:
+    """The trained IVF codebook as inlined VALUES: the deterministic
+    distributed Lloyd trainer (similarity.train_ivf_centroids) is replayed
+    locally in numpy (similarity.lloyd_centroids_local — bit-identical by
+    construction, pinned in tests/test_similarity.py) over the SAME
+    embeddings table the parity run reads, and the resulting normalized
+    float64 centroids are emitted via repr() (shortest round-trip — DuckDB
+    parses back the exact double)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from .operators.similarity import lloyd_centroids_local
+
+    sfdir = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sfdir}/embeddings.parquet')"
+        " ORDER BY vec_id"
+    ).fetchall()
+    cent = lloyd_centroids_local(
+        np.array([r[0] for r in rows], dtype=np.int64),
+        np.array([r[1] for r in rows], dtype=np.float64),
+    )
+    return ",\n".join(
+        f"({i}, [{', '.join(map(repr, c))}])" for i, c in enumerate(cent.tolist())
+    )
+
+
 _IVF_TOPK_SQL = """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm FROM v),
-cent AS (
-  SELECT vec_id AS cid, e, nm,
-         CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cell
-  FROM (SELECT * FROM n ORDER BY vec_id ASC LIMIT 16) t),
+cent(cell, ce) AS (VALUES __CENT_VALUES__),
 sim AS (
   SELECT v2.vec_id, c.cell,
-         list_dot_product(v2.e, c.e) / (v2.nm * c.nm) AS sim
+         list_dot_product(v2.e, c.ce) / v2.nm AS sim
   FROM n v2, cent c),
 ranked AS (
   SELECT vec_id, cell,
@@ -588,6 +616,23 @@ stats AS (
 SELECT a.qid AS vec_id, CAST(a.rank AS BIGINT) AS rank, a.nid AS neighbor_id,
        s.recall AS recall, CAST(1 AS INTEGER) AS "check"
 FROM approx a CROSS JOIN stats s"""
+
+
+@lru_cache(maxsize=1)
+def _render_ivf_topk_sql() -> str:
+    return _IVF_TOPK_SQL.replace("__CENT_VALUES__", _ivf_trained_cent_values())
+
+
+def oracle_sql_map() -> dict[str, str]:
+    """All oracle SQL, fully rendered. The IVF entry inlines the trained
+    codebook replayed from the parity sf dir, so rendering it reads the
+    embeddings parquet — deferred to CALL time (and memoized) so that
+    importing this module has no I/O side effect: the zipped package is
+    importable in environments without /root/testdata (spark-submit
+    executors), while the driver/parity callers render on first use."""
+    m = dict(ORACLES)
+    m["ivf_topk"] = _render_ivf_topk_sql()
+    return m
 
 
 ORACLES: dict[str, str] = {

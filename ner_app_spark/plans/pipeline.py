@@ -52,21 +52,6 @@ class PipelineOutput:
             self.scratch = None
 
 
-def _scratch_base() -> str:
-    """tmpfs when it has >= 8 GiB free (same gate as session.py's
-    shuffle-dir rule), else /tmp."""
-    import os
-
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    try:
-        st = os.statvfs(base)
-        if st.f_bavail * st.f_frsize / 2**30 < 8.0:
-            base = "/tmp"
-    except OSError:
-        base = "/tmp"
-    return base
-
-
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -87,12 +72,15 @@ def run_pipeline(
     while the parquet encode is CPU-bound and scales (measured, BENCH.md
     §5); it is also the north-star shape (stages land in tables). The
     caller owns ``PipelineOutput.cleanup()``."""
+    import shutil
     import tempfile
+
+    from ..session import scratch_base
 
     ckpt = CheckpointManager(workdir, n_parts=n_parts) if workdir else None
     metrics: list[StageMetrics] = []
     scratch = (
-        None if ckpt else tempfile.mkdtemp(prefix="ner_kg_", dir=_scratch_base())
+        None if ckpt else tempfile.mkdtemp(prefix="ner_kg_", dir=scratch_base())
     )
 
     def stage(name: str, df: DataFrame, key: str) -> DataFrame:
@@ -104,28 +92,36 @@ def run_pipeline(
         metrics.append(m)
         return out
 
-    extracted = stage("extracted", extracted_text(pages), key="url")
-    # ONE fused mapInPandas stage emits phrases AND triples (triples are
-    # per-doc local, oracle.triples_for_doc) — no posexplode/window shuffle
-    # between them; emit_triples stays as the declarative SQL-checkable
-    # variant (equivalence pinned in tests/test_fused.py)
-    fused = stage(
-        "analysis",
-        extract_phrases_and_triples(
-            extracted, lang=lang, num_partitions=n_parts, text_col="extracted"
-        ),
-        key="url",
-    )
-    phrases = fused_phrases(fused)
-    triples = fused_triples(fused)
+    # mid-run failure must not leak the scratch dir (repeated failed
+    # no-workdir runs would exhaust /dev/shm — round-3 ADVICE #1); the
+    # success path stays caller-owned via PipelineOutput.cleanup()
+    try:
+        extracted = stage("extracted", extracted_text(pages), key="url")
+        # ONE fused mapInPandas stage emits phrases AND triples (triples
+        # are per-doc local, oracle.triples_for_doc) — no posexplode/window
+        # shuffle between them; emit_triples stays as the declarative
+        # SQL-checkable variant (equivalence pinned in tests/test_fused.py)
+        fused = stage(
+            "analysis",
+            extract_phrases_and_triples(
+                extracted, lang=lang, num_partitions=n_parts, text_col="extracted"
+            ),
+            key="url",
+        )
+        phrases = fused_phrases(fused)
+        triples = fused_triples(fused)
 
-    links = link_mentions(
-        phrases, alias_dict_df(spark), min_score=min_link_score
-    )
-    canon = canonicalize(links.select("mention", "entity_id"))
+        links = link_mentions(
+            phrases, alias_dict_df(spark), min_score=min_link_score
+        )
+        canon = canonicalize(links.select("mention", "entity_id"))
 
-    nodes = mint_nodes(phrases)
-    edges = mint_edges(triples, nodes)
+        nodes = mint_nodes(phrases)
+        edges = mint_edges(triples, nodes)
+    except BaseException:
+        if scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
+        raise
     return PipelineOutput(
         extracted=extracted,
         phrases=phrases,

@@ -82,6 +82,19 @@ def _free_gib(path: str) -> float:
         return 0.0
 
 
+def scratch_base() -> str:
+    """Base dir for scratch parquet spills: tmpfs when it has >= 8 GiB
+    free (same gate as the shuffle-dir rule below — /tmp is a slow virtio
+    disk on this host), else /tmp. Shared by plans.pipeline and bench
+    (round-3 ADVICE #3: one helper, not three copies). The 8 GiB gate is
+    a point-in-time check, not a reservation — callers spilling unbounded
+    data should prefer an explicit workdir."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    if _free_gib(base) < 8.0:
+        base = "/tmp"
+    return base
+
+
 def get_session(
     app_name: str = "ner-app-spark",
     master: str | None = None,

@@ -66,6 +66,55 @@ def test_manifest_counters(spark, tmp_path):
     assert m.rows_computed == 100
 
 
+def test_cc_reliable_checkpoint_kill_mid_iteration(spark, tmp_path):
+    """Connected components through the manifest-backed checkpoint
+    (round-3 VERDICT #6): a kill between a round's data write and its
+    manifest publish (the exact write-audit-publish hole run_stage
+    documents) must resume by recomputing ONLY that round — earlier
+    rounds replay with zero recompute — and the result must equal both
+    the clean checkpointed run and the localCheckpoint default."""
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+
+    from ner_app_spark.operators.components import connected_components
+
+    # two chains + an isolated pair; several rounds to converge
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in
+         [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (20, 21)]]
+    )
+    want = sorted(map(tuple, connected_components(edges).collect()))
+
+    wd = str(tmp_path / "cc_wd")
+    m1: list = []
+    got1 = sorted(map(tuple, connected_components(
+        edges, workdir=wd, n_parts=4, metrics_out=m1
+    ).collect()))
+    assert got1 == want
+    assert all(m.parts_computed == 4 for m in m1)
+    rounds = [m.stage for m in m1 if m.stage.startswith("cc_round")]
+    assert rounds, "expected at least one CC round"
+
+    # simulate the kill: last round's data committed, manifest never
+    # published
+    shutil.rmtree(os.path.join(wd, rounds[-1], "manifest"))
+
+    m2: list = []
+    got2 = sorted(map(tuple, connected_components(
+        edges, workdir=wd, n_parts=4, metrics_out=m2
+    ).collect()))
+    assert got2 == want
+    by_stage = {m.stage: m for m in m2}
+    # every published stage resumed with zero recompute...
+    for stage in ["cc_init"] + rounds[:-1]:
+        assert by_stage[stage].parts_computed == 0, stage
+        assert by_stage[stage].rows_computed == 0, stage
+    # ...and exactly the killed round was recomputed (idempotently)
+    assert by_stage[rounds[-1]].parts_computed == 4
+
+
 def test_pipeline_checkpointed_equals_direct(spark, tmp_path):
     pages = synth_pages_df(spark, 30, num_partitions=4)
     direct = run_pipeline(spark, pages, workdir=None)

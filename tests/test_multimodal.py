@@ -1,6 +1,7 @@
-"""Multimodal decode (round-3): real dependency-free PNG IHDR and WAV
-RIFF header parsers behind the codec hook, distributed through the same
-Arrow-batched mapInPandas plumbing as the stub lane."""
+"""Multimodal decode: real dependency-free PNG IHDR, WAV RIFF, GIF
+logical-screen/block-walk and BMP InfoHeader parsers behind the codec
+hook, distributed through the same Arrow-batched mapInPandas plumbing as
+the stub lane (round-4: every fixture kind decodes real metadata)."""
 
 from __future__ import annotations
 
@@ -8,10 +9,14 @@ import hashlib
 import struct
 
 from ner_app_spark.operators.multimodal import (
+    _decode_bmp_header,
+    _decode_gif_header,
     _decode_png_header,
     _decode_stub,
     _decode_wav_header,
     decode_features,
+    synth_bmp,
+    synth_gif,
     synth_media_df,
     synth_png,
     synth_wav,
@@ -39,6 +44,37 @@ def test_wav_header_parse():
     assert _decode_wav_header(b"short") is None
 
 
+def test_gif_header_parse():
+    assert _decode_gif_header(synth_gif(320, 200, n_frames=1)) == {
+        "width": 320, "height": 200, "n_frames": 1,
+    }
+    assert _decode_gif_header(synth_gif(16, 8, n_frames=5))["n_frames"] == 5
+    # not a GIF / truncated / malformed block stream
+    assert _decode_gif_header(b"GIF89a") is None
+    assert _decode_gif_header(b"JIF89a" + b"\x00" * 20) is None
+    bad = bytearray(synth_gif(8, 8, 2))
+    bad[13] = 0x7F  # neither extension nor image descriptor nor trailer
+    assert _decode_gif_header(bytes(bad)) is None
+    # global color table flag: walk must skip 3*2^(N+1) bytes
+    gct = (
+        b"GIF89a" + struct.pack("<HH", 4, 4) + b"\x80\x00\x00" + b"\x00" * 6
+        + synth_gif(4, 4, 1)[13:]
+    )
+    assert _decode_gif_header(gct)["n_frames"] == 1
+
+
+def test_bmp_header_parse():
+    assert _decode_bmp_header(synth_bmp(800, 600)) == {
+        "width": 800, "height": 600, "n_frames": 1,
+    }
+    # top-down DIB: negative height -> absolute value
+    neg = bytearray(synth_bmp(10, 20))
+    neg[22:26] = struct.pack("<i", -20)
+    assert _decode_bmp_header(bytes(neg))["height"] == 20
+    assert _decode_bmp_header(b"BM") is None
+    assert _decode_bmp_header(b"PK" + b"\x00" * 40) is None
+
+
 def test_stub_lane_unchanged_for_opaque_payloads():
     payload = hashlib.md5(b"opaque").digest() * 4
     d = _decode_stub(payload, "image")
@@ -53,15 +89,18 @@ def test_stub_lane_unchanged_for_opaque_payloads():
 def test_distributed_decode_real_and_stub_lanes(spark):
     media = synth_media_df(spark, 24)
     feats = {r["media_id"]: r for r in decode_features(media, num_partitions=4).collect()}
-    # media_id 0 is an even image -> real PNG with width=32+0, height=16+0
+    # media_id 0: image, i%4==0 -> real PNG (32+0, 16+0); media_id 6:
+    # image, i%4==2 -> real BMP (24+6, 12+6)
     assert (feats[0]["width"], feats[0]["height"], feats[0]["n_frames"]) == (32, 16, 1)
-    assert (feats[6]["width"], feats[6]["height"]) == (32 + 6, 16 + 6)
+    assert (feats[6]["width"], feats[6]["height"], feats[6]["n_frames"]) == (30, 18, 1)
     # media_id 1 is an odd audio -> real WAV with 100+7 sample frames
     assert feats[1]["n_frames"] == 107 and feats[1]["width"] is None
-    # media_id 2 is a video -> stub lane, md5-derived frames
-    payload = hashlib.md5(b"42:2").digest() * 6
+    # media_id 2 is an even video -> real GIF, 2 + 2%5 = 4 frames
+    assert (feats[2]["width"], feats[2]["height"], feats[2]["n_frames"]) == (50, 29, 4)
+    # media_id 5 is an odd video -> stub lane, md5-derived frames
+    payload = hashlib.md5(b"42:5").digest() * (4 + 5 % 7)
     h = hashlib.md5(payload).digest()
-    assert feats[2]["n_frames"] == 1 + h[2] % 32
+    assert feats[5]["n_frames"] == 1 + h[2] % 32
     assert len(feats[2]["feature"]) == 16
 
 

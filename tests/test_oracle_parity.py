@@ -10,8 +10,12 @@ import os
 import duckdb
 import pytest
 
-from ner_app_spark.oracles import ORACLES
+from ner_app_spark.oracles import oracle_sql_map
 from ner_app_spark.queries import QUERIES
+
+# rendered at collection time (the IVF entry inlines the trained codebook
+# replayed from SF_DIR — call-time I/O by design, see oracles.oracle_sql_map)
+ORACLES = oracle_sql_map()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [

@@ -99,6 +99,71 @@ def test_lsh_and_ivf_recall_vs_exact(spark):
         assert all(vid not in nbrs for vid, nbrs in approx.items())
 
 
+def test_trained_centroids_bit_identical_to_local_replay(spark):
+    """The distributed Lloyd trainer must equal the local numpy replay
+    BIT-FOR-BIT (batch-invariant assignment + per-cell sorted pairwise
+    mean make it deterministic by construction) — this is what lets the
+    DuckDB oracle inline the replayed codebook. Run at two partitionings
+    to pin partition-invariance."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ner_app_spark.operators.similarity import (
+        lloyd_centroids_local,
+        train_ivf_centroids,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    want = lloyd_centroids_local(
+        np.array(t["vec_id"], dtype=np.int64),
+        np.array(t["embedding"], dtype=np.float64),
+    )
+    emb = _emb(spark)
+    got = train_ivf_centroids(emb)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
+    got2 = train_ivf_centroids(emb.repartition(7))
+    assert np.array_equal(got2, want)
+
+
+def test_ivf_training_lifts_recall_on_clustered_fixture(spark):
+    """On a corpus WITH cluster structure (the case IVF exists for), the
+    trained codebook must beat the first-n-ids seed codebook materially:
+    the seed picks 16 arbitrary vectors (covering at most half the
+    clusters), Lloyd moves them onto the real structure. Deterministic
+    fixture: 32 noisy clusters over 16 cells, 12 points each — more
+    clusters than cells with real overlap is exactly where a bad
+    codebook splits clusters across unprobed cells (numpy simulation:
+    seed recall 0.847 vs trained 0.975)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(32, 16) * 4.0
+    vecs, ids = [], []
+    for i in range(384):
+        c = i % 32
+        vecs.append((centers[c] + rng.randn(16) * 2.0).astype("float32"))
+        ids.append(i)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": [v.tolist() for v in vecs]})
+    )
+    exact = _topk_sets(cosine_topk_bruteforce(emb, k=5))
+
+    def recall(df):
+        approx = _topk_sets(df)
+        hits = total = 0
+        for vid, want in exact.items():
+            hits += len(want & approx.get(vid, set()))
+            total += len(want)
+        return hits / total
+
+    r_seed = recall(ivf_topk(emb, k=5, train_iters=0))
+    r_trained = recall(ivf_topk(emb, k=5))
+    assert r_trained >= r_seed + 0.10, f"seed={r_seed:.3f} trained={r_trained:.3f}"
+    assert r_trained > 0.95, r_trained
+
+
 def test_near_dup_pairs_symmetric_threshold(spark):
     emb = _emb(spark)
     pairs = near_dup_pairs_cosine(emb, min_cos=0.30).collect()
