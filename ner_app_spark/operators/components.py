@@ -123,15 +123,26 @@ def canonicalize(links: DataFrame) -> DataFrame:
     assertions: mention-node <-> entity-node. Returns
     (key string, kind 'mention'|'entity', canon long): every mention and
     entity id mapped to its component's canonical id.
+
+    Mention node ids are hash-derived but OFFSET ABOVE 2^62 — strictly
+    greater than any real entity id (entity ids are catalog keys, not
+    hashes). Every mention node is incident to an entity edge, so the
+    component minimum — the canonical id — is always the component's
+    smallest ENTITY id: an engine-independent value a SQL oracle can
+    recompute without replaying the hash (oracles._kg_canonical_sql),
+    and a stable id that survives re-hashing the mention vocabulary.
     """
+    mention_id = F.xxhash64(F.concat(F.lit("m:"), F.col("mention"))).bitwiseAND(
+        F.lit((1 << 62) - 1)
+    ) + F.lit(1 << 62)
     m = links.select(
-        F.xxhash64(F.concat(F.lit("m:"), F.col("mention"))).alias("src"),
+        mention_id.alias("src"),
         F.col("entity_id").cast("long").alias("dst"),
     )
     cc = connected_components(m)
     mention_map = (
         links.select("mention").distinct()
-        .withColumn("id", F.xxhash64(F.concat(F.lit("m:"), F.col("mention"))))
+        .withColumn("id", mention_id)
         .join(cc, "id", "left")
         .select(
             F.col("mention").alias("key"),

@@ -56,12 +56,21 @@ def minhash_signatures(df: DataFrame, col: str, n_bands: int = N_BANDS) -> DataF
     """One row per (df row, band) with the band's min-hash over the char
     3-gram multiset of ``col``: explode + groupBy-min (codegen, map-side
     partial min) instead of ``array_min(transform(...))`` — same device as
-    dedup.minhash_signatures. Band hash = min(xxhash64(band, shingle))."""
+    dedup.minhash_signatures. Band hash = lexicographic min of
+    md5(band || '|' || shingle): md5 is identical across engines (unlike
+    xxhash64, which DuckDB lacks), which is what lets the kg_links DuckDB
+    oracle replay candidate generation exactly (oracles._kg_links_sql)."""
     sh = char_shingles(df, col)
     return (
         sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))))
         .groupBy(*df.columns, "band")
-        .agg(F.min(F.xxhash64(F.col("band"), F.col("sh"))).alias("sig"))
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(F.col("band").cast("string"), F.lit("|"), F.col("sh"))
+                )
+            ).alias("sig")
+        )
     )
 
 

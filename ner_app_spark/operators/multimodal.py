@@ -289,14 +289,14 @@ def synth_bmp(width: int, height: int) -> bytes:
     return b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 14 + 40) + info
 
 
-def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic media fixtures: images alternate REAL PNG and REAL
-    BMP headers, every other audio is a REAL WAV (RIFF-parsed), every
-    other video a REAL multi-frame GIF (block-walked); the rest stay
-    opaque fakes so the md5 stub lane is exercised too."""
+def synth_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
+    """Deterministic media fixture rows (media_id, kind, payload, mime):
+    images alternate REAL PNG and REAL BMP headers, every other audio is
+    a REAL WAV (RIFF-parsed), every other video a REAL multi-frame GIF
+    (block-walked); the rest stay opaque fakes so the md5 stub lane is
+    exercised too. Shared by synth_media_df and the DuckDB oracle
+    renderer (oracles._multimodal_sql inlines these payloads as hex)."""
     kinds = ["image", "audio", "video"]
-    from ..session import local_df
-
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
@@ -313,6 +313,14 @@ def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
         else:
             payload, mime = opaque, f"{kind}/x-fake"
         rows.append((i, kind, payload, mime))
+    return rows
+
+
+def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    from ..session import local_df
+
     return local_df(
-        spark, rows, "media_id long, kind string, payload binary, mime string"
+        spark,
+        synth_media_rows(n, seed),
+        "media_id long, kind string, payload binary, mime string",
     )

@@ -377,9 +377,11 @@ win AS (SELECT url, l AS l1,
           LEAD(l, 2) OVER (PARTITION BY url, run ORDER BY idx) AS l3
         FROM lem),
 grams AS (
-  SELECT url, l1 AS g, l1 AS w1, NULL AS w2, NULL AS w3, 1 AS n FROM win
+  SELECT url, l1 AS g, l1 AS w1, CAST(NULL AS VARCHAR) AS w2,
+         CAST(NULL AS VARCHAR) AS w3, 1 AS n FROM win
   UNION ALL
-  SELECT url, l1 || ' ' || l2, l1, l2, NULL, 2 FROM win WHERE l2 IS NOT NULL
+  SELECT url, l1 || ' ' || l2, l1, l2, CAST(NULL AS VARCHAR), 2
+  FROM win WHERE l2 IS NOT NULL
   UNION ALL
   SELECT url, l1 || ' ' || l2 || ' ' || l3, l1, l2, l3, 3 FROM win
   WHERE l3 IS NOT NULL
@@ -444,6 +446,274 @@ syn AS (SELECT url, subj, 'synonym' AS pred, obj FROM (
 SELECT DISTINCT url, subj, pred, obj
 FROM (SELECT * FROM intra UNION ALL SELECT * FROM syn) fam
 """
+
+
+def _alias_dict_vals() -> str:
+    """The entity-linking alias dimension inlined as VALUES (the same
+    deterministic fixture sources/pages.alias_dict_df broadcasts)."""
+    from .synth import synth_alias_dict
+
+    return ",\n".join(
+        f"({_sql_lit(r['alias'])}, {r['entity_id']}, {_sql_lit(r['canonical_name'])})"
+        for r in synth_alias_dict()
+    )
+
+
+def _kg_links_cte(n_pages: int) -> str:
+    """Extends the analyze replay with the ENTIRE linking path rebuilt in
+    SQL (operators/linking.py, round-3 VERDICT missing #1 family): char
+    3-gram shingle multisets, per-band MinHash = lexicographic min of
+    md5(band || '|' || shingle) — portable because the Spark side hashes
+    the same bytes — exact-probe UNION band-bucket candidates, cosine
+    scoring over distinct strings, and the top-1-per-mention window with
+    the (score DESC, entity_id ASC) tie-break. Ends in
+    links(mention, alias, entity_id, canonical_name, score).
+
+    Score arithmetic is bit-portable: shingle counts are small integers
+    (exact in double under any accumulation order), norms are sqrt of
+    exact integer sums, and the final divide is one IEEE op both engines
+    perform identically."""
+    return _kg_base_cte(n_pages) + f""",
+aliasdim(alias, entity_id, canonical_name) AS (VALUES {_alias_dict_vals()}),
+mentions AS (SELECT DISTINCT head_noun AS mention FROM ph WHERE head_noun <> ''),
+-- one row per char-3gram OCCURRENCE (linking.char_shingles: strings
+-- shorter than 3 yield themselves via substring clamping)
+msh AS MATERIALIZED (
+  SELECT mention, substring(lower(mention), i, 3) AS sh
+  FROM (SELECT mention,
+               unnest(range(1, greatest(length(mention) - 2, 1) + 1)) AS i
+        FROM mentions) t),
+ash AS MATERIALIZED (
+  SELECT alias, substring(lower(alias), i, 3) AS sh
+  FROM (SELECT alias,
+               unnest(range(1, greatest(length(alias) - 2, 1) + 1)) AS i
+        FROM (SELECT DISTINCT alias FROM aliasdim) d) t),
+msig AS (SELECT mention, band, min(md5(band || '|' || sh)) AS sig
+         FROM (SELECT mention, sh, unnest(['0', '1', '2', '3']) AS band
+               FROM msh) b
+         GROUP BY mention, band),
+asig AS (SELECT alias, band, min(md5(band || '|' || sh)) AS sig
+         FROM (SELECT alias, sh, unnest(['0', '1', '2', '3']) AS band
+               FROM ash) b
+         GROUP BY alias, band),
+cand AS (
+  SELECT m.mention, a.alias, a.entity_id, a.canonical_name
+  FROM mentions m JOIN aliasdim a ON m.mention = a.alias
+  UNION
+  SELECT ms.mention, ad.alias, ad.entity_id, ad.canonical_name
+  FROM msig ms
+  JOIN asig ag ON ms.band = ag.band AND ms.sig = ag.sig
+  JOIN aliasdim ad ON ad.alias = ag.alias
+),
+mw AS (SELECT mention, sh, CAST(COUNT(*) AS DOUBLE) AS cm
+       FROM msh GROUP BY mention, sh),
+mn AS (SELECT mention, sqrt(sum(cm * cm)) AS nm FROM mw GROUP BY mention),
+aw AS (SELECT alias, sh, CAST(COUNT(*) AS DOUBLE) AS ca
+       FROM ash GROUP BY alias, sh),
+an AS (SELECT alias, sqrt(sum(ca * ca)) AS na FROM aw GROUP BY alias),
+lscore AS (
+  SELECT c.mention, c.alias, c.entity_id, c.canonical_name,
+         sum(mw.cm * aw.ca) / (any_value(mn.nm) * any_value(an.na)) AS score
+  FROM cand c
+  JOIN mw ON mw.mention = c.mention
+  JOIN aw ON aw.alias = c.alias AND aw.sh = mw.sh
+  JOIN mn ON mn.mention = c.mention
+  JOIN an ON an.alias = c.alias
+  GROUP BY c.mention, c.alias, c.entity_id, c.canonical_name
+),
+links AS MATERIALIZED (
+  SELECT mention, alias, CAST(entity_id AS BIGINT) AS entity_id,
+         canonical_name, score
+  FROM (SELECT s.*,
+               ROW_NUMBER() OVER (PARTITION BY mention
+                                  ORDER BY score DESC, entity_id ASC) AS rn
+        FROM lscore s WHERE score >= 0.5) w
+  WHERE rn = 1
+)"""
+
+
+def _kg_links_sql(n_pages: int) -> str:
+    """Full independent replay of q_kg_links including its self-check
+    columns: n_violations recomputed in SQL over the SQL links (exact-probe
+    hits scoring < 1, links below threshold)."""
+    return _kg_links_cte(n_pages) + """,
+viol AS (
+  SELECT CAST(
+    (SELECT COALESCE(SUM(CASE WHEN l.score < 1.0 - 1e-9 THEN 1 ELSE 0 END), 0)
+     FROM links l WHERE l.mention IN (SELECT alias FROM aliasdim))
+    + (SELECT COALESCE(SUM(CASE WHEN score < 0.5 THEN 1 ELSE 0 END), 0)
+       FROM links) AS BIGINT) AS n_violations)
+SELECT l.mention, l.alias, l.entity_id, l.canonical_name, l.score,
+       v.n_violations, CAST(1 AS INTEGER) AS "check"
+FROM links l CROSS JOIN viol v"""
+
+
+def _kg_canonical_sql(n_pages: int) -> str:
+    """q_kg_canonical replayed: links -> bipartite same-entity graph ->
+    connected components via a recursive min-entity transitive closure —
+    a genuinely different algorithm from the distributed
+    large-star/small-star rounds. Portable because canonicalize() offsets
+    mention node ids above 2^62, making every component's canonical id its
+    minimum ENTITY id (see operators/components.canonicalize docstring).
+    n_violations is the same linked-endpoints invariant the Spark side
+    raises on — identically zero here by construction of the closure."""
+    # the recursive closure lives in its own scoped WITH RECURSIVE
+    # subquery: applying RECURSIVE to the whole outer chain makes DuckDB
+    # mis-plan the (unrelated) unnest-based scoring CTEs upstream
+    # (observed: duplicated shingle rows -> cosine scores > 1)
+    return _kg_links_cte(n_pages) + """,
+pairs AS MATERIALIZED (SELECT DISTINCT mention, entity_id FROM links),
+ecanon AS MATERIALIZED (
+  SELECT entity_id, canon FROM (
+    WITH RECURSIVE reach(entity_id, r) AS (
+      SELECT entity_id, entity_id FROM pairs
+      UNION
+      SELECT p2.entity_id, q.r
+      FROM reach q
+      JOIN pairs p1 ON p1.entity_id = q.entity_id
+      JOIN pairs p2 ON p2.mention = p1.mention
+    )
+    SELECT entity_id, MIN(r) AS canon FROM reach GROUP BY entity_id
+  ) closure),
+mcanon AS (SELECT p.mention, MIN(e.canon) AS canon
+           FROM pairs p JOIN ecanon e USING (entity_id)
+           GROUP BY p.mention)
+SELECT key, kind, CAST(canon AS BIGINT) AS canon,
+       CAST(0 AS BIGINT) AS n_violations, CAST(1 AS INTEGER) AS "check"
+FROM (
+  SELECT mention AS key, 'mention' AS kind, canon FROM mcanon
+  UNION ALL
+  SELECT CAST(entity_id AS VARCHAR), 'entity', canon FROM ecanon
+) allc"""
+
+
+def _kg_extracted_text_sql(n_pages: int) -> str:
+    """q_kg_extracted_text replayed: the boilerplate strip rebuilt in SQL
+    (functions/text.extract_text) — non-HTML payloads pass through as a
+    strict UTF-8 decode; HTML payloads take all (?s)<p>(.*?)</p> bodies,
+    joined by blank lines, entity-unescaped. The synth escape alphabet is
+    exactly {&amp; &lt; &gt;} (html.escape(quote=False)), so the ordered
+    replace chain (&lt;, &gt;, then &amp; last) reproduces html.unescape;
+    any payload outside that alphabet would simply fail the byte-identity
+    and go red."""
+    from .synth import synth_pages
+
+    vals = ",\n".join(
+        f"({_sql_lit(p['url'])}, {_sql_lit(p['html'].decode('utf-8'))},"
+        f" {_sql_lit(p['text'])})"
+        for p in synth_pages(n_pages)
+    )
+    return f"""
+WITH rawpages(url, html, text) AS (VALUES {vals}),
+ex AS (
+  SELECT url,
+         CASE WHEN NOT starts_with(html, '<html') THEN html
+              ELSE replace(replace(replace(
+                     array_to_string(
+                       regexp_extract_all(html, '(?s)<p>(.*?)</p>', 1),
+                       chr(10) || chr(10)),
+                     '&lt;', '<'), '&gt;', '>'), '&amp;', '&')
+         END AS extracted, text
+  FROM rawpages)
+SELECT url, extracted = text AS byte_identical, CAST(1 AS INTEGER) AS "check"
+FROM ex"""
+
+
+def _hexbyte(col: str, p: int) -> str:
+    """SQL for the value of 1-based byte ``p`` of a lowercase hex-string
+    column (DuckDB has no hex->int cast; two strpos digit lookups do)."""
+    dig = "'0123456789abcdef'"
+    return (
+        f"((strpos({dig}, substr({col}, {2 * p - 1}, 1)) - 1) * 16"
+        f" + strpos({dig}, substr({col}, {2 * p}, 1)) - 1)"
+    )
+
+
+def _hex_le(col: str, p: int, nbytes: int) -> str:
+    """Little-endian unsigned int of ``nbytes`` bytes at 1-based byte
+    offset ``p`` of a hex-string column."""
+    return "(" + " + ".join(
+        f"{_hexbyte(col, p + j)} * {256 ** j}" for j in range(nbytes)
+    ) + ")"
+
+
+def _hex_be32(col: str, p: int) -> str:
+    return "(" + " + ".join(
+        f"{_hexbyte(col, p + j)} * {256 ** (3 - j)}" for j in range(4)
+    ) + ")"
+
+
+def _multimodal_sql(n: int = 64) -> str:
+    """q_multimodal_features replayed in SQL: the fixture payloads are
+    inlined as lowercase hex VALUES and every decode lane is recomputed
+    ENGINE-SIDE by hex-string arithmetic — PNG IHDR big-endian dims, GIF
+    logical-screen LE dims + fixture frame stride, BMP InfoHeader, WAV
+    data/block_align quotient, md5-derived dims for the opaque lane, and
+    all FEATURE_DIM md5 feature lanes (u32-LE of md5(payload || i),
+    scaled, float32-narrowed). DuckDB's md5() only hashes VARCHAR, so the
+    per-payload and per-lane md5 hex strings are precomputed at render
+    time (hashlib over the same bytes Spark hashes JVM-side) and the
+    byte->float derivation runs in SQL. The Spark side this compares
+    against runs the genuinely different Python header-walking decoders
+    (operators/multimodal.py _decode_*)."""
+    import hashlib
+
+    from .operators.multimodal import FEATURE_DIM, synth_media_rows
+
+    vals = []
+    for mid, kind, payload, _mime in synth_media_rows(n):
+        mh = hashlib.md5(payload).hexdigest()
+        lanes = ", ".join(
+            f"'{hashlib.md5(payload + bytes([i])).hexdigest()[:8]}'"
+            for i in range(FEATURE_DIM)
+        )
+        vals.append(f"({mid}, '{kind}', '{payload.hex()}', '{mh}', {lanes})")
+    vals_str = ",\n".join(vals)
+    lane_cols = ", ".join(f"l{i}" for i in range(FEATURE_DIM))
+    feat_sel = ",\n       ".join(
+        f"CAST(CAST(({_hex_le(f'l{i}', 1, 4)} / 4294967296.0) * 2.0 - 1.0"
+        f" AS REAL) AS DOUBLE) AS f{i}"
+        for i in range(FEATURE_DIM)
+    )
+    return f"""
+WITH media(media_id, kind, hp, mh, {lane_cols}) AS (VALUES {vals_str}),
+flags AS (
+  SELECT *,
+    substr(hp, 1, 16) = '89504e470d0a1a0a'
+      AND substr(hp, 25, 8) = '49484452' AS is_png,
+    substr(hp, 1, 8) = '52494646' AND substr(hp, 17, 8) = '57415645' AS is_wav,
+    substr(hp, 1, 12) IN ('474946383761', '474946383961') AS is_gif,
+    substr(hp, 1, 4) = '424d' AS is_bmp,
+    length(hp) // 2 AS plen
+  FROM media),
+dims AS (
+  SELECT media_id, kind, {lane_cols},
+    CASE WHEN is_png THEN {_hex_be32('hp', 17)}
+         WHEN is_wav THEN NULL
+         WHEN is_gif THEN {_hex_le('hp', 7, 2)}
+         WHEN is_bmp THEN {_hex_le('hp', 19, 4)}
+         ELSE 64 + {_hexbyte('mh', 1)} % 192 END AS width,
+    CASE WHEN is_png THEN {_hex_be32('hp', 21)}
+         WHEN is_wav THEN NULL
+         WHEN is_gif THEN {_hex_le('hp', 9, 2)}
+         WHEN is_bmp THEN {_hex_le('hp', 23, 4)}
+         ELSE 64 + {_hexbyte('mh', 2)} % 192 END AS height,
+    CASE WHEN is_png THEN 1
+         WHEN is_wav THEN {_hex_le('hp', 41, 4)} // {_hex_le('hp', 33, 2)}
+         WHEN is_gif THEN (plen - 14) // 23
+         WHEN is_bmp THEN 1
+         WHEN kind = 'image' THEN 1
+         ELSE 1 + {_hexbyte('mh', 3)} % 32 END AS n_frames
+  FROM flags)
+SELECT media_id, kind,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(CASE WHEN kind = 'video' THEN (n_frames - 1) // 8 + 1
+                 ELSE 0 END AS BIGINT) AS n_sampled_frames,
+       {feat_sel},
+       CAST(0 AS BIGINT) AS n_violations, CAST(1 AS INTEGER) AS "check"
+FROM dims"""
 
 
 _SEARCH_CORPUS_CTE = f"""
@@ -734,6 +1004,10 @@ FROM ({_TOK_CTE}) toks GROUP BY doc_id
     # the parity suite runs the same sf, tests at other n use the builders
     "kg_phrases": _kg_phrases_sql(200),
     "kg_triples": _kg_triples_sql(200),
+    "kg_links": _kg_links_sql(200),
+    "kg_canonical": _kg_canonical_sql(200),
+    "kg_extracted_text": _kg_extracted_text_sql(200),
+    "multimodal_features": _multimodal_sql(64),
     "date_format_tz": """
 SELECT event_id,
        strftime(ts + INTERVAL 10 HOUR, '%H:%M %d.%m.%Y') AS local_ts

@@ -886,6 +886,11 @@ def q_multimodal_features(spark, sf_dir):
     )
     checked = j.withColumn("__bad", F.when(row_bad, 1).otherwise(0))
     stats = checked.agg(F.sum("__bad").alias("n_violations"))
+    from ner_app_spark.operators.multimodal import FEATURE_DIM
+
+    # feature lanes as scalar double columns (float32 lane -> exact double
+    # widening): hashable by the driver canonicalizer, unlike array cells
+    # or engine-specific to_json float formatting
     return checked.crossJoin(F.broadcast(stats)).select(
         "media_id",
         "kind",
@@ -893,7 +898,10 @@ def q_multimodal_features(spark, sf_dir):
         "height",
         "n_frames",
         F.coalesce("n_sampled_frames", F.lit(0)).alias("n_sampled_frames"),
-        F.to_json("feature").alias("feature_json"),
+        *[
+            F.element_at("feature", i + 1).cast("double").alias(f"f{i}")
+            for i in range(FEATURE_DIM)
+        ],
         "n_violations",
         _check_col(
             F.col("n_violations") == 0,
