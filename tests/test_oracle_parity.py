@@ -102,12 +102,11 @@ def test_kg_sql_builders_track_python_oracle():
     assert got_t == exp_t
 
 
-def test_every_query_runs_and_is_nonempty(spark):
-    """Rows-only check for entries without a SQL oracle."""
-    for name, fn in QUERIES.items():
-        if name in ORACLES:
-            continue
-        n = fn(spark, SF_DIR).count()
-        assert n >= 0, name
-        if name not in ("simhash_near_dup",):  # near-dup pairs may be empty
-            assert n > 0, f"{name} returned no rows"
+def test_every_query_has_an_oracle():
+    """Full coverage invariant (reached in round 4): EVERY registry entry
+    carries a DuckDB hash oracle — a new query without one, or a renamed
+    oracle key, fails here before the driver ever sees a no_oracle row."""
+    assert set(QUERIES) == set(ORACLES), (
+        f"queries without oracle: {sorted(set(QUERIES) - set(ORACLES))}; "
+        f"oracles without query: {sorted(set(ORACLES) - set(QUERIES))}"
+    )
