@@ -102,6 +102,95 @@ def test_kg_sql_builders_track_python_oracle():
     assert got_t == exp_t
 
 
+def test_kg_links_and_canonical_sql_builders_track_python_replay():
+    """DuckDB-only (no Spark): the linking + canonicalization SQL replays
+    match a THIRD, independent pure-Python implementation (Counter
+    shingle multisets, hashlib md5 bands, union-find components) — at a
+    page count OTHER than the driver's n=200, proving the builders are
+    general, not fitted to one corpus. Float equality is exact: shingle
+    counts are small integers, so both engines' sums are exact and the
+    sqrt/divide are single IEEE ops."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from ner_app_spark import oracle, synth
+    from ner_app_spark.oracles import _kg_canonical_sql, _kg_links_sql
+
+    n = 60
+
+    def shingles(s: str) -> list[str]:
+        s = s.lower()
+        return [s[i : i + 3] for i in range(max(len(s) - 2, 1))]
+
+    def band_sigs(s: str) -> set[tuple[int, str]]:
+        sh = shingles(s)
+        return {
+            (b, min(hashlib.md5(f"{b}|{g}".encode()).hexdigest() for g in sh))
+            for b in range(4)
+        }
+
+    mentions = set()
+    for p in synth.synth_pages(n):
+        if p["lang"] != "ru" or not p["text"]:
+            continue
+        mentions |= {ph.head_noun for ph in oracle.analyze(p["text"]) if ph.head_noun}
+
+    aliases = synth.synth_alias_dict()
+    a_sigs = {a: band_sigs(a) for a in {r["alias"] for r in aliases}}
+    links = {}
+    for m in mentions:
+        m_sig = band_sigs(m)
+        best = None
+        msh = Counter(shingles(m))
+        nm = math.sqrt(sum(c * c for c in msh.values()))
+        for r in aliases:
+            a = r["alias"]
+            if m != a and not (m_sig & a_sigs[a]):
+                continue
+            ash = Counter(shingles(a))
+            na = math.sqrt(sum(c * c for c in ash.values()))
+            num = sum(msh[g] * ash[g] for g in msh.keys() & ash.keys())
+            score = num / (nm * na)
+            if score >= 0.5:
+                cand = (-score, r["entity_id"], a, r["canonical_name"])
+                if best is None or cand < best:
+                    best = cand
+        if best is not None:
+            links[m] = (best[2], best[1], best[3], -best[0])
+
+    got = con_rows = duckdb.connect().execute(_kg_links_sql(n)).fetchall()
+    got_links = {r[0]: (r[1], r[2], r[3], r[4]) for r in con_rows}
+    assert got_links == links
+    assert all(r[5] == 0 and r[6] == 1 for r in got)
+
+    # union-find canonicalization over the replayed links
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for m, (_a, eid, _cn, _s) in links.items():
+        parent[find(("m", m))] = find(("e", eid))
+    comp: dict = {}
+    for m, (_a, eid, _cn, _s) in links.items():
+        root = find(("e", eid))
+        comp[root] = min(comp.get(root, eid), eid)
+    exp_canon = {}
+    for m, (_a, eid, _cn, _s) in links.items():
+        exp_canon[("mention", m)] = comp[find(("m", m))]
+        exp_canon[("entity", str(eid))] = comp[find(("e", eid))]
+
+    got_canon = {
+        (r[1], r[0]): r[2]
+        for r in duckdb.connect().execute(_kg_canonical_sql(n)).fetchall()
+    }
+    assert got_canon == exp_canon
+
+
 def test_every_query_has_an_oracle():
     """Full coverage invariant (reached in round 4): EVERY registry entry
     carries a DuckDB hash oracle — a new query without one, or a renamed
