@@ -31,6 +31,14 @@ DEFAULT_CONF = {
     # tasks on small-to-mid partitions. 4 MB keeps allocation
     # proportional to actual data.
     "spark.buffer.pageSize": "4m",
+    # Parquet sink codec: zstd writes ~41% fewer bytes than snappy for
+    # the fused KG table at equal-or-better wall (interleaved min-of-3 at
+    # local[32], 20k pages: snappy 13.7s/72.7MB, zstd 11.8s/42.8MB, lz4
+    # 10.3s/71.0MB, uncompressed 11.3s/338.7MB). Bytes are the scaling
+    # currency: the local sink is DRAM-backed tmpfs and a real warehouse
+    # is NIC+object-store bound, so the smallest stream that doesn't cost
+    # wall wins; zstd is also the common Iceberg table default.
+    "spark.sql.parquet.compression.codec": "zstd",
 }
 
 
