@@ -315,6 +315,15 @@ def run_scaling() -> dict:
         for k in stage32
         if stage8.get(k) and stage32.get(k)
     }
+    # The extract_sink stage is fused-compute + parquet-sink write; the
+    # extract-only job is the same compute WITHOUT the sink. Their
+    # difference isolates the sink-write residual per level — the
+    # single-box DRAM term the full-job efficiency divides by. (On a
+    # multi-executor cluster each executor brings its own DRAM/NIC, so
+    # this residual scales with the cluster rather than sitting on one
+    # memory bus.)
+    sink8 = round(stage8.get("extract_sink", 0) - e8, 3)
+    sink32 = round(stage32.get("extract_sink", 0) - e32, 3)
     return {
         "metric": "scaling_efficiency_8_to_32_cores",
         "value": round((t8 / t32) / 4.0, 4),
@@ -322,6 +331,7 @@ def run_scaling() -> dict:
         "stage_sec_8": stage8,
         "stage_sec_32": stage32,
         "per_stage_efficiency": per_stage_eff,
+        "derived_sink_write_sec": {"8": sink8, "32": sink32},
         "unit": "efficiency",
         "sf": sf,
         "scaling_pages": n_pages,
