@@ -116,7 +116,7 @@ def connected_components(
     return assign.union(roots).groupBy("id").agg(F.min("component").alias("component"))
 
 
-def canonicalize(links: DataFrame) -> DataFrame:
+def canonicalize(links: DataFrame, workdir: str | None = None) -> DataFrame:
     """Canonical entity ids from same-entity evidence.
 
     ``links`` rows (mention string, entity_id long) are same-entity
@@ -139,7 +139,11 @@ def canonicalize(links: DataFrame) -> DataFrame:
         mention_id.alias("src"),
         F.col("entity_id").cast("long").alias("dst"),
     )
-    cc = connected_components(m)
+    # workdir: CC rounds run through the manifest-backed reliable
+    # checkpoint (resume-safe under executor/driver loss) — run_pipeline
+    # passes its own workdir through so a checkpointed job is reliable
+    # END-TO-END, not just between stages
+    cc = connected_components(m, workdir=workdir)
     mention_map = (
         links.select("mention").distinct()
         .withColumn("id", mention_id)

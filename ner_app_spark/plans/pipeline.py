@@ -11,6 +11,7 @@ dict (phrase_extractor.py:67-71).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -114,7 +115,13 @@ def run_pipeline(
         links = link_mentions(
             phrases, alias_dict_df(spark), min_score=min_link_score
         )
-        canon = canonicalize(links.select("mention", "entity_id"))
+        # checkpointed runs are reliable END-TO-END: the CC rounds inside
+        # canonicalize route through the same manifest-backed checkpoint
+        # (subdir keeps cc_round_* manifests apart from stage manifests)
+        canon = canonicalize(
+            links.select("mention", "entity_id"),
+            workdir=os.path.join(workdir, "cc") if workdir else None,
+        )
 
         nodes = mint_nodes(phrases)
         edges = mint_edges(triples, nodes)
