@@ -191,6 +191,39 @@ def test_kg_links_and_canonical_sql_builders_track_python_replay():
     assert got_canon == exp_canon
 
 
+def test_multimodal_sql_builder_tracks_python_decoders():
+    """DuckDB-only (no Spark): the hex-string header arithmetic in the
+    multimodal oracle matches the Python header-walking decoders at a
+    fixture count OTHER than the driver's n=64 — the SQL replay is
+    general over the synth layout space (PNG/BMP/GIF/WAV/opaque all
+    present at n=32), not fitted to one payload set."""
+    import numpy as np
+
+    from ner_app_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _decode_stub,
+        synth_media_rows,
+    )
+    from ner_app_spark.oracles import _multimodal_sql
+
+    n = 32
+    got = {
+        r[0]: r
+        for r in duckdb.connect().execute(_multimodal_sql(n)).fetchall()
+    }
+    assert len(got) == n
+    for mid, kind, payload, _mime in synth_media_rows(n):
+        d = _decode_stub(bytes(payload), kind)
+        row = got[mid]
+        assert row[1] == kind
+        assert row[2] == d["width"] and row[3] == d["height"], (mid, kind)
+        assert row[4] == d["n_frames"], (mid, kind)
+        exp_sampled = (d["n_frames"] - 1) // 8 + 1 if kind == "video" else 0
+        assert row[5] == exp_sampled, (mid, kind)
+        for i in range(FEATURE_DIM):
+            assert row[6 + i] == float(np.float32(d["feature"][i])), (mid, i)
+
+
 def test_every_query_has_an_oracle():
     """Full coverage invariant (reached in round 4): EVERY registry entry
     carries a DuckDB hash oracle — a new query without one, or a renamed
