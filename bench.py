@@ -279,10 +279,14 @@ def run_scaling() -> dict:
     trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
 
     def measure(stage: str, pages: int) -> dict[int, dict]:
-        results: dict[int, dict] = {}
-        for cores in (8, 32):
-            runs = []
-            for _ in range(trials):
+        # Levels INTERLEAVED within each trial round (8,32,8,32...), not
+        # blocked per level: a neighbor burst that spans one level's whole
+        # block corrupts both its trials and min-of-N cannot recover the
+        # comparison; interleaved, a burst hits one trial of EACH level
+        # and the min at both levels comes from the same quiet window.
+        runs: dict[int, list] = {8: [], 32: []}
+        for _ in range(trials):
+            for cores in (8, 32):
                 out = subprocess.run(
                     [
                         sys.executable, __file__, "--scaling-child",
@@ -293,9 +297,11 @@ def run_scaling() -> dict:
                     timeout=3600,
                 )
                 line = out.stdout.strip().splitlines()[-1]
-                runs.append(json.loads(line))
-            best = min(runs, key=lambda r: r["wall_sec"])
-            results[cores] = {**best, "all_trials_sec": [r["wall_sec"] for r in runs]}
+                runs[cores].append(json.loads(line))
+        results: dict[int, dict] = {}
+        for cores, rs in runs.items():
+            best = min(rs, key=lambda r: r["wall_sec"])
+            results[cores] = {**best, "all_trials_sec": [r["wall_sec"] for r in rs]}
         return results
 
     results = measure("all", n_pages)
