@@ -258,6 +258,37 @@ def run_scaling_child(cores: int, n_pages: int, stage: str = "all") -> dict:
     return {"cores": cores, "wall_sec": round(wall, 3), **counts}
 
 
+def measure_host_grant(seconds: float = 8.0) -> float:
+    """Measured parallel speedup this host ACTUALLY grants going 8 -> 32
+    busy processes (ideal: 4.0). Pure-Python ALU spin in separate
+    processes — no JVM, no shared-DRAM traffic, no GIL contention — so
+    the number isolates the hypervisor/neighbor CPU grant from every
+    memory-system effect the KG job adds. `lscpu` advertises 32 dedicated
+    cores; the round-1 probe measured ~3.32x under neighbor load. Run in
+    the SAME window as the scaling job, this turns 'efficiency vs the
+    grant' from a cross-day citation into same-window data carried in the
+    scaling JSON."""
+    import multiprocessing as mp
+
+    def burn(q):
+        t0 = time.monotonic()
+        n = 0
+        while time.monotonic() - t0 < seconds:
+            n += 1
+        q.put(n)
+
+    agg: dict[int, int] = {}
+    for procs in (8, 32):
+        q: mp.Queue = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(procs)]
+        for p in ps:
+            p.start()
+        agg[procs] = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+    return agg[32] / agg[8]
+
+
 def run_scaling() -> dict:
     """Same job, same input, local[8] vs local[32]; efficiency =
     (T_8 / T_32) / 4 — the sandbox evidence for the N->4N gate.
@@ -330,6 +361,11 @@ def run_scaling() -> dict:
     # memory bus.)
     sink8 = round(stage8.get("extract_sink", 0) - e8, 3)
     sink32 = round(stage32.get("extract_sink", 0) - e32, 3)
+    # Same-window physical grant: the efficiency denominators above use
+    # the ideal 4.0; a shared host grants less CPU than it advertises,
+    # and the *_vs_grant fields report the job's speedup against what the
+    # hypervisor measurably granted THIS window (burn test, no JVM/DRAM).
+    grant = measure_host_grant()
     return {
         "metric": "scaling_efficiency_8_to_32_cores",
         "value": round((t8 / t32) / 4.0, 4),
@@ -338,6 +374,9 @@ def run_scaling() -> dict:
         "stage_sec_32": stage32,
         "per_stage_efficiency": per_stage_eff,
         "derived_sink_write_sec": {"8": sink8, "32": sink32},
+        "host_grant_8_to_32": round(grant, 3),
+        "full_eff_vs_grant": round((t8 / t32) / grant, 4),
+        "extract_eff_vs_grant": round((e8 / e32) / grant, 4),
         "unit": "efficiency",
         "sf": sf,
         "scaling_pages": n_pages,
