@@ -44,13 +44,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query (46 of 50;
-    kg_phrases / kg_triples gained full independent SQL replays of the
-    analyze pipeline in round 4). Intentionally absent (rows-only): the
-    4 genuinely non-SQL rows — kg_extracted_text (binary html decode),
-    kg_links / kg_canonical (iterative linking + connected components),
-    multimodal_features (binary payloads). Each of the 4 embeds its OWN
-    in-query oracle comparison with a raise_error branch (byte-identity,
-    exact-probe/threshold, CC invariants, payload-recompute), so each can
-    go RED, not just rows-only-pass."""
+    """DuckDB SQL for ALL 53 queries() entries — including the four
+    formerly rows-only kg_* rows (round-4 SQL replays of the analyze,
+    linking, canonicalization, and extract paths) and the three
+    Structured Streaming rows (late round 4), whose streaming operators
+    are engineered to be micro-batch-order-independent so a batch SQL
+    oracle is exact for them. The in-query raise_error self-checks
+    (byte-identity, exact-probe/threshold, CC invariants,
+    payload-recompute) are all KEPT on top of the hash rows."""
     return oracle_sql_map()

@@ -1000,10 +1000,39 @@ FROM ({_TOK_CTE}) toks GROUP BY doc_id
 """,
     "ner_entities": _ner_entities_sql(24),
     "checkpoint_resume": _checkpoint_resume_sql(),
+    # Streaming rows: the streaming operators are engineered so the final
+    # answer is micro-batch-order-independent and equals a batch query
+    # (streaming/dedup.py, streaming/windows.py) — which is what lets a
+    # plain SQL oracle hash-verify a Structured Streaming run.
+    "streaming_dedup": """
+WITH allrows AS (
+  SELECT doc_id, text, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, source, n_chars
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT md5(text) AS text_hash, doc_id, source, n_chars
+FROM allrows
+QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+""",
+    # 1-day tumbling windows are epoch-aligned in Spark == date_trunc day;
+    # both engines format the naive-UTC wall clock (session tz is UTC)
+    "streaming_window_counts": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       strftime(date_trunc('day', ts) + INTERVAL 1 DAY,
+                '%Y-%m-%d %H:%M:%S') AS win_end,
+       event_type,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY 1, 2, 3
+""",
     # n=200 pins the driver's sf0.01 page count (queries._pages_for);
     # the parity suite runs the same sf, tests at other n use the builders
     "kg_phrases": _kg_phrases_sql(200),
     "kg_triples": _kg_triples_sql(200),
+    # the incremental (foreachBatch) run must union to the batch answer —
+    # triples are per-document local, so the oracle IS the batch replay
+    "streaming_triples": _kg_triples_sql(200),
     "kg_links": _kg_links_sql(200),
     "kg_canonical": _kg_canonical_sql(200),
     "kg_extracted_text": _kg_extracted_text_sql(200),

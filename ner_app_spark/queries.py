@@ -654,6 +654,134 @@ def q_checkpoint_resume(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------ streaming rows
+#
+# Structured Streaming surface (ner_app_spark/streaming/): each row stages
+# its input as ordered chunk files, runs a REAL multi-micro-batch streaming
+# query (maxFilesPerTrigger=1, availableNow) against a scratch sink, and
+# returns the materialized result. Eager by nature, like checkpoint_resume:
+# a stream is a side-effectful run, so it executes at construction time;
+# the result is localCheckpoint'ed so the scratch dir can be removed before
+# returning. The final answers are engineered to be micro-batch-ORDER-
+# INDEPENDENT (see streaming/dedup.py and streaming/windows.py), which is
+# what makes a plain batch DuckDB SQL oracle exact for them.
+
+
+def _stream_scratch() -> str:
+    import tempfile
+
+    from .session import scratch_base
+
+    return tempfile.mkdtemp(prefix="ner_app_spark_stream_", dir=scratch_base())
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Stateful streaming exact-dedup (applyInPandasWithState): documents
+    plus a deterministic re-crawl copy of every doc_id % 3 == 0 arrive
+    across 4 micro-batches; per content hash the first-seen (min doc_id)
+    row wins. Equals the batch first-seen SQL under any batching —
+    streaming/dedup.py documents why."""
+    import shutil
+
+    from .streaming import first_seen_result, stage_chunks, streaming_first_seen
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    recrawl = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "source", "n_chars"
+    )
+    withh = docs.unionByName(recrawl).withColumn("text_hash", F.md5("text"))
+    base = _stream_scratch()
+    try:
+        inp, sink, ckpt = f"{base}/in", f"{base}/sink", f"{base}/ckpt"
+        stage_chunks(withh, inp, "doc_id", 4)
+        stream = (
+            spark.readStream.schema(withh.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp)
+        )
+        streaming_first_seen(
+            stream, sink, ckpt, payload_cols=("source", "n_chars")
+        ).awaitTermination()
+        res = first_seen_result(spark, sink).select(
+            "text_hash", "doc_id", "source", "n_chars"
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_streaming_window_counts(spark, sf_dir):
+    """Watermarked tumbling-window counts (1-day windows by event_type)
+    over the events table streamed as 4 micro-batches plus a watermark-
+    advancing sentinel chunk. delay >= the event-time span means no real
+    row can be late; the sentinel flushes every real window and its own
+    window never closes — so the append-mode sink equals the batch
+    GROUP BY (streaming/windows.py)."""
+    import shutil
+
+    from .session import local_df
+    from .streaming import (
+        sentinel_ts,
+        stage_chunks,
+        streaming_window_counts,
+        window_counts_result,
+    )
+    from .streaming.sources import add_chunk
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    base = _stream_scratch()
+    try:
+        inp, sink, ckpt = f"{base}/in", f"{base}/sink", f"{base}/ckpt"
+        n = len(stage_chunks(ev, inp, "ts", 4))
+        sent = local_df(
+            spark,
+            [(sentinel_ts(max_ts, 35), "__sentinel__")],
+            "ts timestamp_ntz, event_type string",
+        )
+        add_chunk(sent, inp, n)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp)
+        )
+        streaming_window_counts(
+            stream, sink, ckpt, window="1 day", delay="35 days",
+            group_cols=("event_type",),
+        ).awaitTermination()
+        res = window_counts_result(spark, sink).filter(
+            F.col("event_type") != "__sentinel__"
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_streaming_triples(spark, sf_dir):
+    """Incremental KG construction: the fused extract+triples Arrow stage
+    run per micro-batch via foreachBatch with an idempotent batch-keyed
+    parquet sink (streaming/pipeline.py). Triples are per-document local,
+    so the union over batches equals the batch kg_triples answer — the
+    oracle IS the kg_triples DuckDB replay."""
+    import shutil
+
+    from .streaming import stage_chunks, stream_kg_triples, triples_result
+
+    pages = _pages_for(spark, sf_dir)
+    base = _stream_scratch()
+    try:
+        inp, sink, ckpt = f"{base}/in", f"{base}/sink", f"{base}/ckpt"
+        stage_chunks(pages, inp, "url", 4)
+        stream_kg_triples(
+            spark, inp, sink, ckpt, schema=pages.schema
+        ).awaitTermination()
+        return triples_result(spark, sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # --------------------------------------------------------- KG pipeline rows
 #
 # kg_phrases / kg_triples are hash-verified by the driver against a full
@@ -958,6 +1086,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "jaccard_pairs": q_jaccard_pairs,
     "checkpoint_resume": q_checkpoint_resume,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_window_counts": q_streaming_window_counts,
+    "streaming_triples": q_streaming_triples,
     "entity_doc_freq": q_entity_doc_freq,
     "near_dup_verified": q_near_dup_verified,
     "graph_merge": q_graph_merge,

@@ -132,7 +132,7 @@ def test_no_interpreted_hof_in_any_query(spark):
     filter(lambda)) run on Spark's interpreted expression path — measured
     ~2.3x slower than codegen explode+agg on this host (BENCH.md probes),
     catastrophic in per-pair inner loops. Round-3 VERDICT #4: zero
-    lambdafunction() in ALL 50 registry plans ('lambdafunction' is the
+    lambdafunction() in ALL registry plans ('lambdafunction' is the
     unambiguous physical-plan marker for every HOF)."""
     offenders = []
     for name, fn in QUERIES.items():

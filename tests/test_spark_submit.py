@@ -84,3 +84,17 @@ def test_run_ner_via_spark_submit_with_artifact_store(pyfiles_zip, tmp_path):
     assert got["entities"] > 0
     assert got["model_artifact"] == aid
     assert os.path.isdir(outdir)
+
+
+def test_run_stream_via_spark_submit(pyfiles_zip, tmp_path):
+    """The incremental (streaming) launch surface: same 60-page corpus
+    drained as 3 micro-batches via availableNow must land exactly the
+    batch pipeline's triples."""
+    got = _submit(
+        pyfiles_zip, "run_stream.py",
+        "--synth", str(N_PAGES), "--chunks", "3",
+        "--sink", str(tmp_path / "sink"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--parts", "4",
+    )
+    assert got["triples"] == N_TRIPLES

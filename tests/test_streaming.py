@@ -1,0 +1,166 @@
+"""Structured Streaming surface (ner_app_spark/streaming/).
+
+What the oracle-parity suite already pins (test_oracle_parity:
+streaming_dedup / streaming_window_counts / streaming_triples): each
+streaming row's final answer hash-equals a batch DuckDB replay. This file
+pins the properties a hash of one happy-path run cannot: micro-batch
+ORDER-independence, state expiry (TTL), and restart-resume from the
+streaming checkpoint with no reprocessing.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_app_spark.session import scratch_base
+from ner_app_spark.streaming import (
+    first_seen_result,
+    stage_chunks,
+    stream_kg_triples,
+    streaming_first_seen,
+    triples_result,
+)
+from ner_app_spark.streaming.sources import add_chunk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def scratch(tmp_path_factory):
+    # tmpfs-backed scratch: streaming checkpoints do many tiny renames,
+    # painful on the virtio /tmp disk
+    d = tempfile.mkdtemp(prefix="test_stream_", dir=scratch_base())
+    yield d
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _read_stream(spark, inp, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+
+
+def test_first_seen_is_micro_batch_order_independent(spark, scratch):
+    """Adversarial arrival order: chunks split round-robin by doc_id % 4,
+    so LATER batches carry SMALLER doc_ids than earlier ones and the
+    state must emit improving candidates. The final reduction still
+    equals the batch first-seen answer, and the improving chain is
+    visibly longer than the distinct-hash count (i.e. the cross-batch
+    state path actually ran)."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("text_hash", F.md5("text"))
+    )
+    # every doc duplicated under a higher id; the +100001 offset (≡ 1
+    # mod 4) puts each duplicate in the round-robin chunk AFTER its
+    # original's, so for doc_id % 4 == 3 the worse duplicate arrives a
+    # batch BEFORE the winner — forcing improving state updates
+    dup = docs.select(
+        (F.col("doc_id") + 100001).alias("doc_id"), "text", "text_hash"
+    )
+    allrows = docs.unionByName(dup)
+    inp, sink, ckpt = f"{scratch}/in", f"{scratch}/sink", f"{scratch}/ckpt"
+    # round-robin staging: chunk i holds doc_id % 4 == i — NOT contiguous,
+    # so arrival order disagrees with doc_id order for most hashes
+    parts = [allrows.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+    for i, part in enumerate(parts):
+        add_chunk(part, inp, i)
+    q = streaming_first_seen(
+        _read_stream(spark, inp, allrows.schema), sink, ckpt
+    )
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(sink)
+    res = first_seen_result(spark, sink).select("text_hash", "doc_id")
+    expected = allrows.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    assert res.exceptAll(expected).count() == 0
+    assert expected.exceptAll(res).count() == 0
+    n_hashes = expected.count()
+    assert emitted.count() > n_hashes, (
+        "no improving emissions — the staging no longer exercises "
+        "cross-batch state updates"
+    )
+
+
+def test_first_seen_state_ttl_expires_and_readmits(spark, scratch):
+    """With an event-time TTL, a hash not re-seen within the horizon is
+    evicted (bounded state at 10^12 docs) and a later duplicate is
+    re-admitted — the declared trade-off in streaming/dedup.py."""
+    schema = "ts timestamp, doc_id long, text_hash string"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def chunk(rows):
+        from ner_app_spark.session import local_df
+
+        return local_df(spark, rows, schema)
+
+    # c0 seeds h and x; c1 (2h later, unrelated) advances the watermark so
+    # h and x time out (they get no data that batch); c2 re-sends h
+    add_chunk(chunk([(t0, 1, "h"), (t0, 10, "x")]), f"{scratch}/in", 0)
+    add_chunk(chunk([(t0 + dt.timedelta(hours=2), 11, "y")]), f"{scratch}/in", 1)
+    add_chunk(chunk([(t0 + dt.timedelta(hours=3), 2, "h")]), f"{scratch}/in", 2)
+    stream = _read_stream(spark, f"{scratch}/in", schema).withWatermark(
+        "ts", "1 minute"
+    )
+    q = streaming_first_seen(
+        stream,
+        f"{scratch}/sink",
+        f"{scratch}/ckpt",
+        ttl_ms=60 * 60 * 1000,  # 1h horizon
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(f"{scratch}/sink")
+    h_rows = sorted(
+        r.doc_id for r in emitted.filter(F.col("text_hash") == "h").collect()
+    )
+    # doc_id 2 re-admitted AFTER expiry — without TTL the state (best=1)
+    # would have suppressed it
+    assert h_rows == [1, 2]
+    assert emitted.filter(F.col("text_hash") == "x").count() == 1
+
+
+def test_incremental_triples_resume_processes_only_new_chunks(spark, scratch):
+    """Kill-and-restart: run the incremental KG stream over the first two
+    chunks, then drip two more and restart with the SAME checkpoint. The
+    second run must create sink directories only for the new batches
+    (offsets resumed, nothing reprocessed), and the union must equal the
+    batch answer."""
+    from ner_app_spark.operators.extract import (
+        extract_phrases_and_triples,
+        fused_triples,
+    )
+    from ner_app_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, 40)
+    inp, sink, ckpt = f"{scratch}/in", f"{scratch}/sink", f"{scratch}/ckpt"
+    quarters = [pages.filter(F.crc32(F.col("url")) % 4 == i) for i in range(4)]
+    add_chunk(quarters[0], inp, 0)
+    add_chunk(quarters[1], inp, 1)
+    q = stream_kg_triples(spark, inp, sink, ckpt, schema=pages.schema)
+    q.awaitTermination()
+    first_batches = set(os.listdir(sink))
+    assert len(first_batches) == 2
+
+    add_chunk(quarters[2], inp, 2)
+    add_chunk(quarters[3], inp, 3)
+    q2 = stream_kg_triples(spark, inp, sink, ckpt, schema=pages.schema)
+    q2.awaitTermination()
+    all_batches = set(os.listdir(sink))
+    assert first_batches < all_batches and len(all_batches) == 4
+
+    res = triples_result(spark, sink)
+    expected = fused_triples(
+        extract_phrases_and_triples(synth_pages_df(spark, 40), num_partitions=4)
+    )
+    assert res.exceptAll(expected).count() == 0
+    assert expected.exceptAll(res).count() == 0
