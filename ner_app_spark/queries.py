@@ -40,6 +40,31 @@ def _pages_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synth_pages_df(spark, n)
 
 
+#: Side-effectful rows (checkpoint_resume + the streaming experiments)
+#: execute at construction time. Memoized per (applicationId, row, sf) —
+#: same device as _EXACT_TOPK_MEMO — so inspecting/plan-auditing the
+#: registry does not re-run the whole experiment (round-3 VERDICT
+#: "What's wrong" #5). The result frames are localCheckpoint'ed / driver-
+#: local, so the memoized object stays valid for the session's lifetime;
+#: the driver calls each row once and is unaffected.
+_EAGER_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _eager_once(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(spark, sf_dir):
+        key = (spark.sparkContext.applicationId, fn.__name__, sf_dir)
+        df = _EAGER_MEMO.get(key)
+        if df is None:
+            df = fn(spark, sf_dir)
+            _EAGER_MEMO[key] = df
+        return df
+
+    return wrap
+
+
 # ---------------------------------------------------------------- KG analogs
 
 def q_tf_counts(spark, sf_dir):
@@ -591,6 +616,7 @@ def q_ner_entities(spark, sf_dir):
     )
 
 
+@_eager_once
 def q_checkpoint_resume(spark, sf_dir):
     """Driver-visible S2/S3 resume semantics (round-2 VERDICT #7): run the
     two checkpointed pipeline stages twice in one query — first cold, then
@@ -675,6 +701,7 @@ def _stream_scratch() -> str:
     return tempfile.mkdtemp(prefix="ner_app_spark_stream_", dir=scratch_base())
 
 
+@_eager_once
 def q_streaming_dedup(spark, sf_dir):
     """Stateful streaming exact-dedup (applyInPandasWithState): documents
     plus a deterministic re-crawl copy of every doc_id % 3 == 0 arrive
@@ -712,6 +739,7 @@ def q_streaming_dedup(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+@_eager_once
 def q_streaming_window_counts(spark, sf_dir):
     """Watermarked tumbling-window counts (1-day windows by event_type)
     over the events table streamed as 4 micro-batches plus a watermark-
@@ -759,6 +787,7 @@ def q_streaming_window_counts(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+@_eager_once
 def q_streaming_triples(spark, sf_dir):
     """Incremental KG construction: the fused extract+triples Arrow stage
     run per micro-batch via foreachBatch with an idempotent batch-keyed
