@@ -19,6 +19,16 @@ At production scale the same operator runs with a realistic delay (e.g.
 '2 hours' for crawl feeds) and no sentinel — continuous arrivals advance
 the watermark; the state per open window is one count per (window, keys),
 partitioned across the state stores.
+
+Two-watermark subtlety (SPARK-24634, WatermarkPropagator, Spark >= 3.4):
+within one micro-batch, LATE-event filtering uses the watermark computed
+before the PREVIOUS batch, while state EVICTION uses the freshly updated
+one — late filtering therefore lags eviction by exactly one micro-batch
+(pinned in tests/test_streaming.py::test_watermark_drops_genuinely_late_
+rows). This never affects the sentinel protocol above: delay >= span
+means no real row is ever late, and the sentinel only needs the EVICTION
+watermark, which availableNow applies in the trailing empty batch it
+schedules after the last file.
 """
 
 from __future__ import annotations

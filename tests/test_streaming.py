@@ -164,3 +164,122 @@ def test_incremental_triples_resume_processes_only_new_chunks(spark, scratch):
     )
     assert res.exceptAll(expected).count() == 0
     assert expected.exceptAll(res).count() == 0
+
+
+def test_first_seen_state_survives_restart(spark, scratch):
+    """Stateful resume: the dedup stream is stopped after draining two
+    chunks, then restarted with the SAME checkpoint over two more. A
+    duplicate whose first copy arrived before the restart must still be
+    suppressed after it — i.e. the state store itself (not just source
+    offsets) is restored. foreachBatch resume (test above) cannot pin
+    this; applyInPandasWithState resume does."""
+    schema = "doc_id long, text_hash string"
+
+    def chunk(rows):
+        from ner_app_spark.session import local_df
+
+        return local_df(spark, rows, schema)
+
+    inp, sink, ckpt = f"{scratch}/in", f"{scratch}/sink", f"{scratch}/ckpt"
+    add_chunk(chunk([(1, "a"), (2, "b")]), inp, 0)
+    add_chunk(chunk([(3, "c")]), inp, 1)
+    streaming_first_seen(
+        _read_stream(spark, inp, schema), sink, ckpt
+    ).awaitTermination()
+    assert spark.read.parquet(sink).count() == 3
+
+    # post-restart: a worse duplicate of 'a' (must be suppressed by the
+    # RESTORED state) and an improvement of 'c' (must be emitted)
+    add_chunk(chunk([(9, "a"), (0, "c")]), inp, 2)
+    add_chunk(chunk([(4, "d")]), inp, 3)
+    streaming_first_seen(
+        _read_stream(spark, inp, schema), sink, ckpt
+    ).awaitTermination()
+    emitted = spark.read.parquet(sink)
+    assert emitted.filter(F.col("text_hash") == "a").count() == 1  # suppressed
+    assert sorted(
+        r.doc_id for r in emitted.filter(F.col("text_hash") == "c").collect()
+    ) == [0, 3]  # improvement emitted
+    res = {r.text_hash: r.doc_id for r in first_seen_result(spark, sink).collect()}
+    assert res == {"a": 1, "b": 2, "c": 0, "d": 4}
+
+
+def test_watermark_drops_genuinely_late_rows(spark, scratch):
+    """The semantics the sentinel protocol is designed around: a row
+    arriving AFTER the watermark passed its window is dropped from the
+    aggregation (append mode). Two-watermark subtlety (SPARK-24634 /
+    WatermarkPropagator): LATE-event filtering uses the watermark of the
+    PREVIOUS micro-batch, while state eviction uses the updated one — so
+    the advancing chunk needs one intervening micro-batch before the
+    late row is actually filtered. With that spacing, a row landing back
+    in the long-closed first window must NOT appear in its count."""
+    import datetime as dt
+
+    from ner_app_spark.streaming import streaming_window_counts
+
+    schema = "ts timestamp_ntz, event_type string"
+    t0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+
+    def chunk(rows):
+        from ner_app_spark.session import local_df
+
+        return local_df(spark, rows, schema)
+
+    inp, sink, ckpt = f"{scratch}/in", f"{scratch}/sink", f"{scratch}/ckpt"
+    add_chunk(chunk([(t0, "x"), (t0, "x")]), inp, 0)
+    # jumps event time 2 days ahead: eviction watermark passes W1 at
+    # batch 2, late-filter watermark at batch 3
+    add_chunk(chunk([(t0 + dt.timedelta(days=2), "x")]), inp, 1)
+    add_chunk(chunk([(t0 + dt.timedelta(days=2, minutes=1), "x")]), inp, 2)
+    # genuinely late: lands in the already-closed first window, and the
+    # late-filter watermark has caught up — must be dropped
+    add_chunk(chunk([(t0 + dt.timedelta(minutes=1), "x")]), inp, 3)
+    # flush: advances the watermark past the second chunk's window too
+    add_chunk(chunk([(t0 + dt.timedelta(days=4), "__sentinel__")]), inp, 4)
+    streaming_window_counts(
+        _read_stream(spark, inp, schema),
+        sink, ckpt, window="1 day", delay="1 minute",
+        group_cols=("event_type",),
+    ).awaitTermination()
+    rows = {
+        (r.win_start, r.event_type): r.cnt
+        for r in spark.read.parquet(sink).collect()
+    }
+    # first window counts 2, NOT 3 — the late row was dropped
+    assert rows[("2024-01-01 00:00:00", "x")] == 2
+    assert rows[("2024-01-03 00:00:00", "x")] == 2
+    assert all(t != "__sentinel__" for _, t in rows)
+
+
+def test_first_seen_with_rocksdb_state_store(spark, scratch):
+    """The 10^12-doc state-store path is a config swap, not a code
+    change: the same dedup stream runs green on the bundled RocksDB
+    provider (spills state off-heap/disk instead of the HDFS-backed
+    in-memory map)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text")
+            .withColumn("text_hash", F.md5("text"))
+        )
+        inp, sink, ckpt = f"{scratch}/in", f"{scratch}/sink", f"{scratch}/ckpt"
+        stage_chunks(docs, inp, "doc_id", 3)
+        streaming_first_seen(
+            _read_stream(spark, inp, docs.schema), sink, ckpt
+        ).awaitTermination()
+        res = first_seen_result(spark, sink).select("text_hash", "doc_id")
+        expected = docs.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+        assert res.exceptAll(expected).count() == 0
+        assert expected.exceptAll(res).count() == 0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
