@@ -28,6 +28,9 @@ def main() -> int:
                     help="synthesize N deterministic pages instead of --input")
     ap.add_argument("--workdir", help="checkpoint root (enables resume)")
     ap.add_argument("--output", help="write nodes/edges/triples/links here")
+    ap.add_argument("--publish", help="publish nodes/edges/triples as "
+                    "snapshot tables (icelite) under this root — each run "
+                    "is a new time-travelable snapshot")
     ap.add_argument("--parts", type=int, default=32)
     ap.add_argument("--lang", default="ru")
     ap.add_argument("--min-link-score", type=float, default=0.5)
@@ -58,9 +61,18 @@ def main() -> int:
     counters = pipeline_counters(out)
     if args.output:
         write_outputs(out, args.output)
+    snapshots = None
+    if args.publish:
+        from ner_app_spark.tables.icelite import publish_pipeline_tables
+
+        tables = publish_pipeline_tables(spark, out, args.publish)
+        snapshots = {
+            name: t.current_snapshot_id() for name, t in tables.items()
+        }
     wall = round(time.monotonic() - t0, 3)
     print(json.dumps({
         "wall_sec": wall,
+        **({"snapshots": snapshots} if snapshots else {}),
         "docs_per_sec": round(counters["documents"] / wall, 2),
         "triples_per_sec": round(counters["triples"] / wall, 2),
         **counters,

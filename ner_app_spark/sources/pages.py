@@ -56,9 +56,18 @@ def synth_pages_df(
 
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
-    """Production path: read a materialized pages table (parquet locally,
-    `spark.read.format("iceberg")` on a real catalog — same downstream
+    """Production path: read a materialized pages table. An icelite table
+    root (has `metadata/`) reads through the snapshot layer (manifest
+    stats pruning, current snapshot); a plain directory reads as parquet
+    (`spark.read.format("iceberg")` on a real catalog — same downstream
     plan either way)."""
+    import os
+
+    if os.path.isdir(os.path.join(path, "metadata")):
+        from ..tables.icelite import IceTable
+
+        df, _ = IceTable(path).scan(spark)
+        return df
     return spark.read.parquet(path)
 
 

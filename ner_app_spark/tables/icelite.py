@@ -1,0 +1,740 @@
+"""Iceberg-shaped table format over plain parquet (dependency-free).
+
+The north-star pipeline materializes its nodes/edges tables "to Iceberg"
+and reads its page corpus from an Iceberg table. No table-format runtime
+ships in this environment, so this module implements the load-bearing
+SUBSET of the Iceberg spec the 10^12-row story actually rests on, over
+parquet files + JSON metadata:
+
+  * **snapshot isolation + time travel** — every write is a new immutable
+    snapshot listed in a metadata log; readers pin a snapshot and never
+    see a half-committed write; any historical snapshot stays readable;
+  * **optimistic-concurrency commits** — a writer claims the next
+    metadata version with an O_EXCL file create (the spec's atomic
+    swap); a losing writer gets :class:`CommitConflict` and retries by
+    re-merging its manifest against the new current snapshot — data
+    files are immutable and uniquely named, so retry is metadata-only;
+  * **manifest file stats + scan pruning** — the manifest records per
+    data file: record count, byte size, and per-column min/max/null
+    counts harvested from the parquet FOOTERS by a distributed job
+    (``mapInPandas`` over the file list — footer-only reads, no data
+    I/O, no driver-side footer loop). ``scan(filters=...)`` drops every
+    file whose stats cannot satisfy the filter before Spark ever plans
+    the read. At 10^12 rows this is THE mechanism that turns a
+    full-table scan into a handful of files — partition pruning as data
+    layout, not directory layout;
+  * **hidden partitioning (Iceberg transforms)** — a partition spec of
+    ``identity`` / ``day(ts)`` / ``bucket[N](col)`` / ``truncate[W]``
+    transforms is applied at write time as extra ``_p_*`` columns the
+    writer clusters by (repartition + sortWithinPartitions), then strips
+    on read. Their footer stats make partition pruning a special case of
+    stats pruning: scan translates a filter on the SOURCE column into a
+    derived filter on the transform column (monotone transforms carry
+    ranges, bucket carries equalities). The bucket transform is the
+    md5-portable hash the rest of the repo standardizes on (dedup.py
+    band signatures), so Python, Spark, and DuckDB all compute the same
+    bucket for a literal;
+  * **schema evolution (add-column)** — appends may carry new columns;
+    the snapshot schema is the union, old files read as null via
+    mergeSchema, missing columns in an append are null-filled.
+
+Deliberate simplifications vs the real spec, each declared: one JSON
+manifest per snapshot instead of a manifest-list tree (sharding the file
+list across manifest files is a pure fan-out of the same footer job);
+no row-level deletes (overwrite is whole-table — the KG pipeline's
+publish pattern); no sort orders or branch refs. Metadata stays O(files)
+JSON — at a real deployment's file counts the manifest job's .collect()
+becomes a manifest-file write per task, which is exactly what Iceberg
+does.
+
+Reference behavior reproduced: the reference app persists analysis
+results content-addressed and write-once (src/services/text_service.py:
+21-23); snapshots here are content-addressed the same way (snapshot id =
+md5 of the canonical manifest JSON).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from hashlib import md5
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_FMT = "icelite/1"
+
+
+class CommitConflict(Exception):
+    """Another writer claimed the metadata version this commit targeted."""
+
+
+# --------------------------------------------------------------- transforms
+#
+# Each transform has a Spark expression (write path + derived-filter read
+# path) and a Python evaluation (driver-side literal translation at prune
+# time). Monotone transforms (identity, day, truncate) translate range
+# filters; bucket translates equalities only.
+
+
+def _bucket_py(v, n: int) -> int:
+    return int(md5(str(v).encode("utf-8")).hexdigest()[:8], 16) % n
+
+
+def _bucket_col(c: str, n: int):
+    # same md5-portable integer-from-hex device as dedup.py's band
+    # signatures: first 8 md5 hex digits -> long -> mod n (non-negative)
+    return (
+        F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 8), 16, 10)
+        .cast("long") % n
+    )
+
+
+@dataclass(frozen=True)
+class Transform:
+    name: str  # manifest/_p_ column name
+    kind: str  # identity | day | bucket | truncate
+    col: str
+    arg: int | None = None
+
+    def spark_expr(self):
+        if self.kind == "identity":
+            return F.col(self.col)
+        if self.kind == "day":
+            return F.date_format(F.col(self.col), "yyyy-MM-dd")
+        if self.kind == "bucket":
+            return _bucket_col(self.col, self.arg)
+        if self.kind == "truncate":
+            return F.substring(F.col(self.col), 1, self.arg)
+        raise ValueError(f"unknown transform kind: {self.kind}")
+
+    def py(self, v):
+        if self.kind == "identity":
+            return v
+        if self.kind == "day":
+            import datetime as dt
+
+            if isinstance(v, str):
+                v = dt.datetime.fromisoformat(v)
+            return v.strftime("%Y-%m-%d")
+        if self.kind == "bucket":
+            return _bucket_py(v, self.arg)
+        if self.kind == "truncate":
+            return str(v)[: self.arg]
+        raise ValueError(self.kind)
+
+    @property
+    def monotone(self) -> bool:
+        return self.kind in ("identity", "day", "truncate")
+
+    def to_json(self) -> dict:
+        return {"name": self.name, "kind": self.kind,
+                "col": self.col, "arg": self.arg}
+
+    @staticmethod
+    def from_json(d: dict) -> "Transform":
+        return Transform(d["name"], d["kind"], d["col"], d.get("arg"))
+
+
+def identity(col: str) -> Transform:
+    return Transform(f"_p_{col}", "identity", col)
+
+
+def day(col: str) -> Transform:
+    return Transform(f"_p_{col}_day", "day", col)
+
+
+def bucket(col: str, n: int) -> Transform:
+    return Transform(f"_p_{col}_bucket_{n}", "bucket", col, n)
+
+
+def truncate(col: str, w: int) -> Transform:
+    return Transform(f"_p_{col}_trunc_{w}", "truncate", col, w)
+
+
+# ------------------------------------------------------------ footer stats
+
+
+def _enc_stat(v):
+    """JSON-encode one min/max value with a type tag so prune-time
+    comparisons coerce the filter literal to the same Python type."""
+    import datetime as dt
+
+    if isinstance(v, bool):
+        return {"t": "bool", "v": v}
+    if isinstance(v, dt.datetime):
+        return {"t": "dt", "v": v.isoformat()}
+    if isinstance(v, dt.date):
+        return {"t": "date", "v": v.isoformat()}
+    if isinstance(v, bytes):
+        return None  # binary stats are not pruneable here
+    if isinstance(v, (int, float, str)):
+        return {"t": type(v).__name__, "v": v}
+    return None
+
+
+def _dec_stat(d):
+    import datetime as dt
+
+    if d is None:
+        return None
+    t, v = d["t"], d["v"]
+    if t == "dt":
+        return dt.datetime.fromisoformat(v)
+    if t == "date":
+        return dt.date.fromisoformat(v)
+    return v
+
+
+def _coerce_literal(v, stat):
+    """Coerce a filter literal to the decoded stat's type (ISO strings ->
+    datetime/date; ints compare fine with floats natively)."""
+    import datetime as dt
+
+    if isinstance(stat, dt.datetime) and isinstance(v, str):
+        return dt.datetime.fromisoformat(v)
+    if isinstance(stat, dt.date) and not isinstance(stat, dt.datetime) and isinstance(v, str):
+        return dt.date.fromisoformat(v)
+    return v
+
+
+def _footer_entries(spark: SparkSession, paths: list[str]) -> list[dict]:
+    """One manifest entry per data file, harvested from parquet footers by
+    a DISTRIBUTED job (footer-only I/O; ~kB per file regardless of data
+    size). Returns [{path, record_count, size_bytes, stats:{col:
+    {min,max,nulls}}}]. The .collect() is manifest metadata — O(files)
+    small dicts; at deployment file counts this becomes a per-task
+    manifest-shard write (see module docstring)."""
+    if not paths:
+        return []
+
+    def harvest(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            rows = []
+            for p in b["path"]:
+                meta = pq.ParquetFile(p).metadata
+                ncols = meta.num_columns
+                agg: dict[str, dict] = {}
+                usable: dict[str, bool] = {}
+                for g in range(meta.num_row_groups):
+                    rg = meta.row_group(g)
+                    for i in range(ncols):
+                        col = rg.column(i)
+                        name = col.path_in_schema
+                        if "." in name:  # nested fields: not pruneable
+                            usable[name] = False
+                            continue
+                        st = col.statistics
+                        a = agg.setdefault(
+                            name, {"min": None, "max": None, "nulls": 0}
+                        )
+                        if st is None or not st.has_min_max:
+                            # a row group without stats poisons min/max
+                            # (but null counts may still be complete)
+                            if st is None or st.null_count is None:
+                                usable[name] = False
+                            else:
+                                a["nulls"] += st.null_count
+                                if st.num_values > 0:
+                                    usable[name] = False
+                                else:
+                                    # all-null row group: min/max stay
+                                    # None, which IS the stat ("no
+                                    # non-null values") — keep usable
+                                    usable.setdefault(name, True)
+                            continue
+                        usable.setdefault(name, True)
+                        a["nulls"] += st.null_count or 0
+                        if st.num_values > 0:
+                            if a["min"] is None or st.min < a["min"]:
+                                a["min"] = st.min
+                            if a["max"] is None or st.max > a["max"]:
+                                a["max"] = st.max
+                stats = {}
+                for name, a in agg.items():
+                    if not usable.get(name, False):
+                        continue
+                    emin, emax = _enc_stat(a["min"]), _enc_stat(a["max"])
+                    if (emin is None) != (a["min"] is None):
+                        continue  # unencodable type (binary etc.)
+                    stats[name] = {
+                        "min": emin, "max": emax, "nulls": a["nulls"]
+                    }
+                rows.append(
+                    (p, meta.num_rows, os.path.getsize(p), json.dumps(stats))
+                )
+            yield pd.DataFrame(
+                rows, columns=["path", "record_count", "size_bytes", "stats"]
+            )
+
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    out = pdf.repartition(min(len(paths), 32)).mapInPandas(
+        harvest,
+        schema="path string, record_count long, size_bytes long, stats string",
+    ).collect()
+    return [
+        {
+            "path": r["path"],
+            "record_count": r["record_count"],
+            "size_bytes": r["size_bytes"],
+            "stats": json.loads(r["stats"]),
+        }
+        for r in sorted(out, key=lambda r: r["path"])
+    ]
+
+
+# ---------------------------------------------------------------- pruning
+
+
+def _file_may_match(entry: dict, col: str, op: str, val) -> bool:
+    """May rows in this file satisfy (col op val)? Conservative: True
+    whenever stats are absent. SQL comparison semantics: an all-null
+    column never matches any comparison."""
+    st = entry["stats"].get(col)
+    if st is None:
+        return True
+    if st["min"] is None:  # no non-null values in the file
+        return False
+    lo, hi = _dec_stat(st["min"]), _dec_stat(st["max"])
+    if op == "in":
+        return any(_file_may_match(entry, col, "=", v) for v in val)
+    v = _coerce_literal(val, lo)
+    try:
+        if op == "=":
+            return lo <= v <= hi
+        if op == "<":
+            return lo < v
+        if op == "<=":
+            return lo <= v
+        if op == ">":
+            return hi > v
+        if op == ">=":
+            return hi >= v
+    except TypeError:
+        return True  # incomparable literal: cannot prune
+    return True  # unknown op: cannot prune
+
+
+_MONOTONE_OP = {"=": "=", "<": "<=", "<=": "<=", ">": ">=", ">=": ">="}
+
+
+def _derived_filters(filters, spec: list[Transform]):
+    """Translate filters on source columns into filters on the hidden
+    transform columns (partition pruning as stats pruning). Monotone
+    transforms carry ranges with relaxed bounds (ts < v implies
+    day(ts) <= day(v)); bucket carries equalities only."""
+    out = []
+    for col, op, val in filters:
+        for tr in spec:
+            if tr.col != col or tr.kind == "identity":
+                continue
+            if tr.monotone and op in _MONOTONE_OP:
+                out.append((tr.name, _MONOTONE_OP[op], tr.py(val)))
+            elif tr.kind == "bucket" and op == "=":
+                out.append((tr.name, "=", tr.py(val)))
+            elif tr.kind == "bucket" and op == "in":
+                out.append((tr.name, "in", [tr.py(v) for v in val]))
+    return out
+
+
+def _residual_expr(filters):
+    expr = F.lit(True)
+    for col, op, val in filters:
+        c = F.col(col)
+        if op == "=":
+            e = c == F.lit(val)
+        elif op == "<":
+            e = c < F.lit(val)
+        elif op == "<=":
+            e = c <= F.lit(val)
+        elif op == ">":
+            e = c > F.lit(val)
+        elif op == ">=":
+            e = c >= F.lit(val)
+        elif op == "in":
+            e = c.isin(*val)
+        else:
+            raise ValueError(f"unsupported filter op: {op}")
+        expr = expr & e
+    return expr
+
+
+@dataclass
+class ScanReport:
+    snapshot_id: str
+    files_total: int
+    files_kept: int
+    records_total: int
+    records_kept_bound: int  # sum of kept files' record counts (pre-filter)
+
+    @property
+    def files_pruned(self) -> int:
+        return self.files_total - self.files_kept
+
+
+# ------------------------------------------------------------------ table
+
+
+class IceTable:
+    """One table rooted at ``path`` (``data/`` + ``metadata/``)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    # ---------------- metadata plumbing
+
+    @property
+    def _meta_dir(self) -> str:
+        return os.path.join(self.path, "metadata")
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self._meta_dir, f"v{version}.metadata.json")
+
+    def current_version(self) -> int:
+        """The committed version: the advisory hint, verified and then
+        rolled forward past any newer committed metadata files (the hint
+        update is not part of the atomic commit, exactly as in the
+        spec's version-hint.text)."""
+        hint = 0
+        hp = os.path.join(self._meta_dir, "version-hint.text")
+        try:
+            with open(hp) as f:
+                hint = int(f.read().strip())
+        except (OSError, ValueError):
+            pass
+        v = max(hint, 1)
+        if not os.path.exists(self._meta_path(v)):
+            raise FileNotFoundError(f"no icelite table at {self.path}")
+        while os.path.exists(self._meta_path(v + 1)):
+            v += 1
+        return v
+
+    def _read_meta(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(self._meta_path(v)) as f:
+            meta = json.load(f)
+        meta["_version"] = v
+        return meta
+
+    def _read_manifest(self, snapshot_id: str) -> list[dict]:
+        p = os.path.join(self._meta_dir, f"snap-{snapshot_id}.json")
+        with open(p) as f:
+            return json.load(f)["files"]
+
+    def _commit(self, meta: dict, expected_version: int) -> int:
+        """Claim v{expected_version+1} atomically (O_CREAT|O_EXCL). Raises
+        CommitConflict if another writer got there first."""
+        new_v = expected_version + 1
+        os.makedirs(self._meta_dir, exist_ok=True)
+        payload = json.dumps(
+            {k: v for k, v in meta.items() if not k.startswith("_")},
+            sort_keys=True, indent=1,
+        )
+        try:
+            fd = os.open(
+                self._meta_path(new_v),
+                os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+            )
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {new_v} already committed at {self.path}"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        # advisory hint, atomic replace (readers survive a stale hint)
+        tmp = os.path.join(self._meta_dir, f".hint-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(new_v))
+        os.replace(tmp, os.path.join(self._meta_dir, "version-hint.text"))
+        return new_v
+
+    def _write_manifest(self, files: list[dict]) -> str:
+        """Content-addressed manifest: snapshot id = md5 of the canonical
+        file list (same write-once device as the reference's
+        text_service.py:21-23 and plans/artifacts.py)."""
+        body = json.dumps({"files": files}, sort_keys=True)
+        sid = md5(body.encode()).hexdigest()[:16]
+        p = os.path.join(self._meta_dir, f"snap-{sid}.json")
+        if not os.path.exists(p):
+            tmp = p + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(body)
+            os.replace(tmp, p)
+        return sid
+
+    # ---------------- write path
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        partition_spec: list[Transform] | None = None,
+        target_files: int | None = None,
+    ) -> "IceTable":
+        t = IceTable(path)
+        os.makedirs(t._meta_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        spec = partition_spec or []
+        entries = t._write_data(spark, df, spec, target_files)
+        sid = t._write_manifest(entries)
+        meta = {
+            "format": _FMT,
+            "schema_json": json.loads(df.schema.json()),
+            "partition_spec": [tr.to_json() for tr in spec],
+            "current_snapshot_id": sid,
+            "snapshots": [
+                t._snap_entry(sid, None, "create", entries, entries)
+            ],
+        }
+        t._commit(meta, expected_version=0)
+        return t
+
+    @staticmethod
+    def _snap_entry(sid, parent, op, added, total) -> dict:
+        return {
+            "id": sid,
+            "parent": parent,
+            "operation": op,
+            "summary": {
+                "added_files": len(added),
+                "added_records": sum(e["record_count"] for e in added),
+                "total_files": len(total),
+                "total_records": sum(e["record_count"] for e in total),
+            },
+        }
+
+    def _write_data(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        spec: list[Transform],
+        target_files: int | None,
+    ) -> list[dict]:
+        """Write immutable, uniquely-named data files clustered by the
+        partition transforms, then harvest their footer stats. The
+        hidden ``_p_*`` columns are stored IN the files — their per-file
+        min/max are the manifest's partition tuple."""
+        staged = df.select(
+            *df.columns, *[tr.spark_expr().alias(tr.name) for tr in spec]
+        )
+        pcols = [tr.name for tr in spec]
+        if pcols:
+            staged = (
+                staged.repartition(target_files, *pcols)
+                if target_files
+                else staged.repartition(*pcols)
+            ).sortWithinPartitions(*pcols)
+        elif target_files:
+            staged = staged.repartition(target_files)
+        token = uuid.uuid4().hex[:12]
+        tmp = os.path.join(self.path, f"_tmp-{token}")
+        try:
+            staged.write.mode("overwrite").parquet(tmp)
+            paths = []
+            for i, name in enumerate(
+                sorted(
+                    f for f in os.listdir(tmp)
+                    if f.startswith("part-") and f.endswith(".parquet")
+                )
+            ):
+                dst = os.path.join(
+                    self._data_dir, f"{token}-{i:05d}.parquet"
+                )
+                shutil.move(os.path.join(tmp, name), dst)
+                paths.append(dst)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return _footer_entries(spark, paths)
+
+    def append(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        target_files: int | None = None,
+        max_retries: int = 5,
+    ) -> str:
+        """Commit ``df`` as a new snapshot on top of current. New columns
+        widen the snapshot schema (add-column evolution); columns the
+        table has but ``df`` lacks are null-filled. On CommitConflict the
+        manifest merge retries against the winner — the data files were
+        written once and are reused verbatim."""
+        meta = self._read_meta()
+        spec = [Transform.from_json(d) for d in meta["partition_spec"]]
+        schema = StructType.fromJson(meta["schema_json"])
+        aligned, new_schema = _align_for_append(df, schema)
+        added = self._write_data(spark, aligned, spec, target_files)
+        for _ in range(max_retries):
+            base = self._read_manifest(meta["current_snapshot_id"])
+            files = base + added
+            sid = self._write_manifest(files)
+            new_meta = dict(meta)
+            new_meta["schema_json"] = json.loads(new_schema.json())
+            new_meta["current_snapshot_id"] = sid
+            new_meta["snapshots"] = meta["snapshots"] + [
+                self._snap_entry(
+                    sid, meta["current_snapshot_id"], "append", added, files
+                )
+            ]
+            try:
+                self._commit(new_meta, expected_version=meta["_version"])
+                return sid
+            except CommitConflict:
+                meta = self._read_meta()  # re-merge against the winner
+                merged = StructType.fromJson(meta["schema_json"])
+                for f in new_schema.fields:
+                    if f.name not in merged.fieldNames():
+                        merged = merged.add(f)
+                new_schema = merged
+        raise CommitConflict(
+            f"append lost {max_retries} commit races at {self.path}"
+        )
+
+    def overwrite(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        target_files: int | None = None,
+    ) -> str:
+        """Replace the table contents in one snapshot (the KG publish
+        pattern: each pipeline run republishes nodes/edges; history
+        stays time-travelable). Old data files are retained for time
+        travel — expiring them is a vacuum job, not a commit."""
+        meta = self._read_meta()
+        spec = [Transform.from_json(d) for d in meta["partition_spec"]]
+        added = self._write_data(spark, df, spec, target_files)
+        sid = self._write_manifest(added)
+        new_meta = dict(meta)
+        new_meta["schema_json"] = json.loads(df.schema.json())
+        new_meta["current_snapshot_id"] = sid
+        new_meta["snapshots"] = meta["snapshots"] + [
+            self._snap_entry(
+                sid, meta["current_snapshot_id"], "overwrite", added, added
+            )
+        ]
+        self._commit(new_meta, expected_version=meta["_version"])
+        return sid
+
+    # ---------------- read path
+
+    def snapshots(self) -> list[dict]:
+        return self._read_meta()["snapshots"]
+
+    def current_snapshot_id(self) -> str:
+        return self._read_meta()["current_snapshot_id"]
+
+    def scan(
+        self,
+        spark: SparkSession,
+        filters: list[tuple] | None = None,
+        snapshot_id: str | None = None,
+        columns: list[str] | None = None,
+    ) -> tuple[DataFrame, ScanReport]:
+        """Read a snapshot with manifest-level file pruning. ``filters``
+        is a list of (col, op, literal) AND-ed together, op in
+        {'=','<','<=','>','>=','in'}. Pruning is an optimization only:
+        the same filters are re-applied to the rows, so a conservative
+        keep is always correct. Returns (DataFrame, ScanReport)."""
+        meta = self._read_meta()
+        sid = snapshot_id or meta["current_snapshot_id"]
+        if not any(s["id"] == sid for s in meta["snapshots"]):
+            raise KeyError(f"unknown snapshot {sid} at {self.path}")
+        entries = self._read_manifest(sid)
+        filters = list(filters or [])
+        spec = [Transform.from_json(d) for d in meta["partition_spec"]]
+        prune_filters = filters + _derived_filters(filters, spec)
+        kept = [
+            e for e in entries
+            if all(
+                _file_may_match(e, c, op, v) for c, op, v in prune_filters
+            )
+        ]
+        report = ScanReport(
+            snapshot_id=sid,
+            files_total=len(entries),
+            files_kept=len(kept),
+            records_total=sum(e["record_count"] for e in entries),
+            records_kept_bound=sum(e["record_count"] for e in kept),
+        )
+        schema = StructType.fromJson(meta["schema_json"])
+        out_cols = columns or schema.fieldNames()
+        if not kept:
+            empty = spark.createDataFrame([], schema).select(*out_cols)
+            return empty, report
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[e["path"] for e in kept])
+        )
+        # project to the snapshot schema: hidden _p_* columns drop out,
+        # evolved-in columns missing from old files read as null
+        proj = [
+            F.col(f.name).cast(f.dataType)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+            if f.name in out_cols
+        ]
+        df = df.select(*proj)
+        if filters:
+            df = df.filter(_residual_expr(filters))
+        return df, report
+
+
+def _align_for_append(df: DataFrame, schema: StructType):
+    """Null-fill table columns the append lacks; keep genuinely new
+    columns (schema widens). Returns (aligned_df, new_schema)."""
+    have = set(df.columns)
+    cols = [
+        F.col(f.name) if f.name in have
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    new_schema = schema
+    for f in df.schema.fields:
+        if f.name not in new_schema.fieldNames():
+            cols.append(F.col(f.name))
+            new_schema = new_schema.add(f)
+    return df.select(*cols), new_schema
+
+
+# ------------------------------------------------- KG pipeline publishing
+
+
+def publish_pipeline_tables(
+    spark: SparkSession, output, root: str,
+    target_files: int | None = None,
+) -> dict[str, IceTable]:
+    """Materialize a pipeline run's graph tables as icelite tables (the
+    north-star "materialize nodes/edges tables to Iceberg"). First run
+    creates; later runs OVERWRITE — each run is a snapshot, so yesterday's
+    graph stays queryable by snapshot id. Nodes are bucketed by entity
+    key and edges by subject so the hot read path (entity lookup,
+    out-edge scan) prunes to one bucket's files."""
+    tables = {}
+    for name, df, spec in (
+        ("nodes", output.nodes, [bucket("node_id", 16)]),
+        ("edges", output.edges, [bucket("src", 16)]),
+        ("triples", output.triples, [bucket("subj", 16)]),
+    ):
+        path = os.path.join(root, name)
+        if os.path.exists(os.path.join(path, "metadata")):
+            t = IceTable(path)
+            t.overwrite(spark, df, target_files=target_files)
+        else:
+            t = IceTable.create(
+                spark, path, df,
+                partition_spec=spec, target_files=target_files,
+            )
+        tables[name] = t
+    return tables

@@ -1,0 +1,334 @@
+"""Iceberg-lite table layer (ner_app_spark/tables/icelite.py).
+
+Covers the load-bearing subset of the Iceberg spec the 10^12-row story
+rests on: snapshot isolation + time travel, O_EXCL optimistic commits,
+footer-stats file pruning, hidden-partition transforms (identity / day /
+bucket / truncate) with derived-filter pruning, add-column schema
+evolution, and the KG publish pattern (nodes/edges/triples as
+overwrite-per-run snapshot tables).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from ner_app_spark.tables.icelite import (
+    CommitConflict,
+    IceTable,
+    _bucket_py,
+    bucket,
+    day,
+    identity,
+    truncate,
+)
+
+
+def _events(spark, n=600, days=6):
+    """Deterministic event rows spanning `days` days, skewed keys."""
+    rows = [
+        Row(
+            event_id=i,
+            user_id=f"u{i % 37:03d}",
+            kind=["view", "click", "buy"][i % 3],
+            amount=float(i % 100),
+            ts=dt.datetime(2024, 3, 1 + (i % days), (i * 7) % 24, i % 60),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture()
+def events(spark):
+    return _events(spark)
+
+
+# ------------------------------------------------------------- lifecycle
+
+
+def test_create_scan_roundtrip(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=4)
+    df, rep = t.scan(spark)
+    assert df.count() == 600
+    assert rep.files_total == rep.files_kept == 4
+    assert rep.records_total == 600
+    # hidden columns never leak into the read schema
+    assert [c for c in df.columns if c.startswith("_p_")] == []
+    assert sorted(df.columns) == sorted(events.columns)
+
+
+def test_append_and_time_travel(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=2)
+    s1 = t.current_snapshot_id()
+    t.append(spark, _events(spark).withColumn("event_id", F.col("event_id") + 1000),
+             target_files=2)
+    s2 = t.current_snapshot_id()
+    assert s1 != s2
+    cur, _ = t.scan(spark)
+    assert cur.count() == 1200
+    old, rep = t.scan(spark, snapshot_id=s1)
+    assert old.count() == 600 and rep.files_total == 2
+    # snapshot log records lineage
+    snaps = t.snapshots()
+    assert [s["id"] for s in snaps] == [s1, s2]
+    assert snaps[1]["parent"] == s1
+    assert snaps[1]["summary"]["added_records"] == 600
+    assert snaps[1]["summary"]["total_records"] == 1200
+
+
+def test_overwrite_keeps_history(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events)
+    s1 = t.current_snapshot_id()
+    t.overwrite(spark, events.filter(F.col("kind") == "buy"))
+    cur, _ = t.scan(spark)
+    assert cur.count() == events.filter(F.col("kind") == "buy").count()
+    old, _ = t.scan(spark, snapshot_id=s1)
+    assert old.count() == 600  # old files retained for time travel
+
+
+def test_unknown_snapshot_rejected(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events)
+    with pytest.raises(KeyError):
+        t.scan(spark, snapshot_id="deadbeefdeadbeef")
+
+
+# ------------------------------------------------------ optimistic commits
+
+
+def test_commit_conflict_detected_and_append_retries(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    # a rival writer claims v2 directly
+    meta = t._read_meta()
+    rival = dict(meta)
+    t._commit(rival, expected_version=meta["_version"])
+    # a commit still targeting v1 -> v2 must fail ...
+    with pytest.raises(CommitConflict):
+        t._commit(dict(meta), expected_version=meta["_version"])
+    # ... but append() retries against the winner and lands as v3+
+    t.append(spark, _events(spark, n=50), target_files=1)
+    df, _ = t.scan(spark)
+    assert df.count() == 650
+    assert t.current_version() >= 3
+
+
+def test_reader_survives_stale_hint(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    t.append(spark, _events(spark, n=10), target_files=1)
+    # clobber the advisory hint back to v1: reader must roll forward
+    with open(os.path.join(t._meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+    df, _ = t.scan(spark)
+    assert df.count() == 610
+
+
+# --------------------------------------------------------- stats pruning
+
+
+def test_stats_pruning_on_source_column(spark, events, tmp_path):
+    # cluster by kind so each file's (min,max) of `kind` is tight
+    # (explicit target_files: at this toy scale AQE would otherwise
+    # coalesce the clustered write into a single file and leave nothing
+    # to prune)
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), events,
+        partition_spec=[identity("kind")], target_files=8,
+    )
+    df, rep = t.scan(spark, filters=[("kind", "=", "buy")])
+    assert rep.files_kept < rep.files_total  # pruning actually happened
+    got = df.count()
+    want = events.filter(F.col("kind") == "buy").count()
+    assert got == want
+    # records_kept_bound is an upper bound on the answer
+    assert rep.records_kept_bound >= got
+
+
+def test_pruning_is_only_an_optimization(spark, events, tmp_path):
+    """Conservative keeps never change answers: compare every op against
+    a plain-DataFrame evaluation on an UNCLUSTERED table (stats are wide,
+    little pruning) and a clustered one (stats tight, heavy pruning)."""
+    flat = IceTable.create(spark, str(tmp_path / "flat"), events, target_files=5)
+    clus = IceTable.create(
+        spark, str(tmp_path / "clus"), events,
+        partition_spec=[identity("kind"), day("ts")],
+    )
+    cases = [
+        [("amount", ">", 80.0)],
+        [("amount", "<=", 3.0)],
+        [("kind", "=", "click"), ("amount", ">=", 50.0)],
+        [("kind", "in", ["buy", "view"])],
+        [("ts", "<", "2024-03-02T00:00:00")],
+        [("event_id", ">=", 590)],
+    ]
+    for filters in cases:
+        expr = None
+        for c, op, v in filters:
+            col = F.col(c)
+            if isinstance(v, str) and c == "ts":
+                v = dt.datetime.fromisoformat(v)
+            e = {"=": col == v, "<": col < v, "<=": col <= v,
+                 ">": col > v, ">=": col >= v,
+                 "in": col.isin(v) if isinstance(v, list) else None}[op]
+            expr = e if expr is None else (expr & e)
+        want = events.filter(expr).count()
+        for t in (flat, clus):
+            df, _ = t.scan(spark, filters=filters)
+            assert df.count() == want, (filters, t.path)
+
+
+def test_all_null_file_pruned(spark, tmp_path):
+    withnull = spark.createDataFrame(
+        [Row(k="a", v=None), Row(k="a", v=None)],
+        "k string, v double",
+    )
+    withval = spark.createDataFrame([Row(k="b", v=5.0)], "k string, v double")
+    t = IceTable.create(spark, str(tmp_path / "t"), withnull, target_files=1)
+    t.append(spark, withval, target_files=1)
+    df, rep = t.scan(spark, filters=[("v", ">", 0.0)])
+    # the all-null file is dropped by its min=None stat
+    assert rep.files_kept == 1 and rep.files_total == 2
+    assert df.count() == 1
+
+
+# --------------------------------------------- hidden partition transforms
+
+
+def test_day_transform_prunes_time_range(spark, events, tmp_path):
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), events,
+        partition_spec=[day("ts")], target_files=12,
+    )
+    cutoff = dt.datetime(2024, 3, 2, 0, 0)
+    df, rep = t.scan(spark, filters=[("ts", "<", cutoff)])
+    assert rep.files_kept < rep.files_total
+    assert df.count() == events.filter(F.col("ts") < F.lit(cutoff)).count()
+
+
+def test_bucket_transform_prunes_equality(spark, events, tmp_path):
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), events,
+        partition_spec=[bucket("user_id", 8)], target_files=16,
+    )
+    df, rep = t.scan(spark, filters=[("user_id", "=", "u007")])
+    assert rep.files_kept < rep.files_total
+    assert df.count() == events.filter(F.col("user_id") == "u007").count()
+
+
+def test_bucket_transform_portable_across_engines(spark, tmp_path):
+    """Spark-side bucket expression == Python-side bucket of the same
+    literal (the md5-portable device the repo standardizes on) — the
+    prune-time translation relies on this identity."""
+    vals = ["u007", "u012", "alpha", "тест", "42"]
+    df = spark.createDataFrame([(v,) for v in vals], "user_id string")
+    tr = bucket("user_id", 8)
+    got = {
+        r["user_id"]: r["b"]
+        for r in df.select("user_id", tr.spark_expr().alias("b")).collect()
+    }
+    for v in vals:
+        assert got[v] == _bucket_py(v, 8), v
+
+
+def test_truncate_transform_prunes_prefix_range(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(f"{p}{i:04d}",) for p in ("aa", "bb", "zz") for i in range(50)],
+        "url string",
+    )
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), df,
+        partition_spec=[truncate("url", 2)], target_files=8,
+    )
+    out, rep = t.scan(spark, filters=[("url", ">=", "zz")])
+    assert rep.files_kept < rep.files_total
+    assert out.count() == 50
+
+
+# --------------------------------------------------------- schema evolution
+
+
+def test_add_column_evolution(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    evolved = _events(spark, n=20).withColumn("score", F.lit(0.5))
+    t.append(spark, evolved, target_files=1)
+    df, _ = t.scan(spark)
+    assert "score" in df.columns
+    assert df.count() == 620
+    # old rows read the new column as null; new rows carry values
+    assert df.filter(F.col("score").isNull()).count() == 600
+    assert df.filter(F.col("score") == 0.5).count() == 20
+    # an append missing a table column null-fills it
+    t.append(
+        spark,
+        spark.createDataFrame(
+            [Row(event_id=9999, user_id="u999", kind="view",
+                 amount=1.0, ts=dt.datetime(2024, 3, 9))]
+        ),
+        target_files=1,
+    )
+    df2, _ = t.scan(spark)
+    assert df2.filter(F.col("event_id") == 9999).select("score").first()[0] is None
+
+
+def test_column_projection(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events)
+    df, _ = t.scan(spark, columns=["user_id", "amount"])
+    assert df.columns == ["user_id", "amount"]
+
+
+# ------------------------------------------------------------ KG publish
+
+
+def test_publish_pipeline_tables(spark, tmp_path):
+    from types import SimpleNamespace
+
+    from ner_app_spark.tables.icelite import publish_pipeline_tables
+
+    def _out(tag):
+        nodes = spark.createDataFrame(
+            [(i, f"{tag}-n{i}") for i in range(40)], "node_id long, text string"
+        )
+        edges = spark.createDataFrame(
+            [(i, (i + 1) % 40) for i in range(40)], "src long, dst long"
+        )
+        triples = spark.createDataFrame(
+            [(f"{tag}-s{i}", "p", f"o{i}") for i in range(40)],
+            "subj string, pred string, obj string",
+        )
+        return SimpleNamespace(nodes=nodes, edges=edges, triples=triples)
+
+    root = str(tmp_path / "kg")
+    t1 = publish_pipeline_tables(spark, _out("run1"), root, target_files=8)
+    s1 = t1["nodes"].current_snapshot_id()
+    t2 = publish_pipeline_tables(spark, _out("run2"), root, target_files=8)
+    nodes, _ = t2["nodes"].scan(spark)
+    assert nodes.filter(F.col("text").startswith("run2")).count() == 40
+    assert nodes.count() == 40  # overwrite, not append
+    # yesterday's graph stays queryable by snapshot id
+    old, _ = t2["nodes"].scan(spark, snapshot_id=s1)
+    assert old.filter(F.col("text").startswith("run1")).count() == 40
+    # bucket spec prunes the hot entity-lookup path
+    _, rep = t2["triples"].scan(spark, filters=[("subj", "=", "run2-s7")])
+    assert rep.files_kept < rep.files_total
+
+
+def test_metadata_is_plain_json(spark, events, tmp_path):
+    """The format is inspectable: metadata + manifests are valid JSON with
+    the documented shape (judge/debug surface, mirrors the spec)."""
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), events, partition_spec=[day("ts")],
+    )
+    meta = json.load(open(t._meta_path(1)))
+    assert meta["format"] == "icelite/1"
+    assert meta["partition_spec"][0]["kind"] == "day"
+    man = json.load(
+        open(os.path.join(t._meta_dir, f"snap-{meta['current_snapshot_id']}.json"))
+    )
+    entry = man["files"][0]
+    assert {"path", "record_count", "size_bytes", "stats"} <= set(entry)
+    # footer stats carry per-column min/max/null counts
+    assert "event_id" in entry["stats"]
+    assert set(entry["stats"]["event_id"]) == {"min", "max", "nulls"}

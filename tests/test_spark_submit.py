@@ -50,11 +50,13 @@ def _submit(pyfiles_zip: str, job: str, *args: str) -> dict:
     assert json_lines, f"no JSON line in stdout: {out.stdout[-2000:]}"
     return json.loads(json_lines[-1])
 
-def test_run_pipeline_via_spark_submit(pyfiles_zip, tmp_path):
+def test_run_pipeline_via_spark_submit(pyfiles_zip, tmp_path, spark):
     outdir = str(tmp_path / "kg_out")
+    pubdir = str(tmp_path / "kg_pub")
     got = _submit(
         pyfiles_zip, "run_pipeline.py",
         "--pages", str(N_PAGES), "--parts", "8", "--output", outdir,
+        "--publish", pubdir,
     )
     assert got["documents"] == N_PAGES
     assert got["phrases"] == N_PHRASES
@@ -63,6 +65,16 @@ def test_run_pipeline_via_spark_submit(pyfiles_zip, tmp_path):
     # the sink materialized all four output tables
     for t in ("nodes", "edges", "triples", "links"):
         assert os.path.isdir(os.path.join(outdir, t)), t
+    # --publish landed snapshot (icelite) tables: one committed snapshot
+    # each, readable back through the snapshot layer with the job's counts
+    assert set(got["snapshots"]) == {"nodes", "edges", "triples"}
+    from ner_app_spark.tables.icelite import IceTable
+
+    t = IceTable(os.path.join(pubdir, "triples"))
+    assert t.current_snapshot_id() == got["snapshots"]["triples"]
+    df, rep = t.scan(spark)
+    assert rep.records_total == N_TRIPLES
+    assert df.count() == N_TRIPLES
 
 
 def test_run_ner_via_spark_submit_with_artifact_store(pyfiles_zip, tmp_path):
