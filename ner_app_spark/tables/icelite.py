@@ -58,7 +58,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
+from contextlib import suppress as contextlib_suppress
 from dataclasses import dataclass
 from hashlib import md5
 
@@ -625,6 +627,208 @@ class IceTable:
         ]
         self._commit(new_meta, expected_version=meta["_version"])
         return sid
+
+    # ---------------- table maintenance
+
+    def compact(
+        self,
+        spark: SparkSession,
+        small_file_bytes: int = 32 << 20,
+        target_file_bytes: int = 128 << 20,
+        min_input_files: int = 2,
+        max_retries: int = 5,
+        _pre_commit=None,
+    ) -> str | None:
+        """Rewrite small data files into target-size files (Iceberg's
+        ``rewrite_data_files`` action). This is THE maintenance job a
+        streaming sink needs: foreachBatch appends one small file set per
+        trigger, and at 10^12 rows an uncompacted table degenerates into
+        millions of footer reads per scan. Semantics:
+
+          * picks every current data file under ``small_file_bytes``;
+            no-op (returns None) below ``min_input_files``;
+          * rewrites them with a DISTRIBUTED read+write through the
+            table's own partition spec (the hidden ``_p_*`` clustering is
+            re-derived, so compaction also restores clustering that
+            interleaved appends degraded);
+          * commits a ``replace`` snapshot: untouched files carried over
+            verbatim, inputs swapped for the rewritten set. Record count
+            is asserted conserved before the commit;
+          * a concurrent APPEND is not a conflict — on CommitConflict the
+            replace re-merges against the winner (inputs dropped,
+            rewritten files added, the winner's new files kept). A
+            concurrent OVERWRITE that removed an input aborts cleanly:
+            the rewritten files are deleted and None is returned (the
+            table was rewritten wholesale anyway);
+          * time travel is preserved: prior snapshots still reference the
+            small files, which stay on disk until expire_snapshots.
+
+        ``_pre_commit`` is a test seam invoked once after the rewrite and
+        before the first commit attempt (to stage commit races).
+        """
+        meta = self._read_meta()
+        base = self._read_manifest(meta["current_snapshot_id"])
+        inputs = [e for e in base if e["size_bytes"] < small_file_bytes]
+        if len(inputs) < min_input_files:
+            return None
+        in_paths = {e["path"] for e in inputs}
+        in_records = sum(e["record_count"] for e in inputs)
+        spec = [Transform.from_json(d) for d in meta["partition_spec"]]
+        schema = StructType.fromJson(meta["schema_json"])
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*sorted(in_paths))
+        )
+        # project to the snapshot schema exactly as scan() does: hidden
+        # _p_* columns drop (the rewrite re-derives them), evolved-in
+        # columns null-fill
+        df = df.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        n_out = max(
+            1, -(-sum(e["size_bytes"] for e in inputs) // target_file_bytes)
+        )
+        rewritten = self._write_data(spark, df, spec, target_files=n_out)
+        if sum(e["record_count"] for e in rewritten) != in_records:
+            for e in rewritten:
+                with contextlib_suppress(OSError):
+                    os.remove(e["path"])
+            raise RuntimeError(
+                f"compaction dropped rows at {self.path}: "
+                f"{in_records} in, "
+                f"{sum(e['record_count'] for e in rewritten)} out"
+            )
+        if _pre_commit is not None:
+            _pre_commit()
+        for _ in range(max_retries):
+            meta = self._read_meta()
+            base = self._read_manifest(meta["current_snapshot_id"])
+            base_paths = {e["path"] for e in base}
+            if not in_paths <= base_paths:
+                # an overwrite replaced (some of) our inputs: abort,
+                # metadata untouched, rewrite output removed
+                for e in rewritten:
+                    with contextlib_suppress(OSError):
+                        os.remove(e["path"])
+                return None
+            files = [
+                e for e in base if e["path"] not in in_paths
+            ] + rewritten
+            sid = self._write_manifest(files)
+            entry = self._snap_entry(
+                sid, meta["current_snapshot_id"], "replace", rewritten, files
+            )
+            entry["summary"]["rewritten_files"] = len(inputs)
+            new_meta = dict(meta)
+            new_meta["current_snapshot_id"] = sid
+            new_meta["snapshots"] = meta["snapshots"] + [entry]
+            try:
+                self._commit(new_meta, expected_version=meta["_version"])
+                return sid
+            except CommitConflict:
+                continue  # re-merge against the winner
+        raise CommitConflict(
+            f"compaction lost {max_retries} commit races at {self.path}"
+        )
+
+    def expire_snapshots(
+        self,
+        keep_last: int = 2,
+        clean_orphans: bool = False,
+        orphan_grace_sec: float = 3600.0,
+        max_retries: int = 5,
+    ) -> dict:
+        """Expire history: retain the last ``keep_last`` snapshots (always
+        including current), delete data files and manifests referenced
+        ONLY by expired snapshots. Without expiration, overwrite-per-run
+        publishing and compaction retain every byte ever written — at
+        10^12 rows this job is what bounds storage.
+
+        Ordering: the pruned metadata commits FIRST, then files are
+        deleted — a reader of the new metadata never sees a missing
+        file; readers pinned to an expired snapshot fail afterwards,
+        which is the defined semantics of expiration.
+
+        ``clean_orphans`` additionally removes data files referenced by
+        NO retained snapshot at all (aborted writes, lost commit races)
+        — but only files older than ``orphan_grace_sec``, because an
+        IN-FLIGHT append has already written its data files before its
+        commit (exactly why real Iceberg's remove_orphan_files takes an
+        age threshold).
+        """
+        for _ in range(max_retries):
+            meta = self._read_meta()
+            snaps = meta["snapshots"]
+            retained = snaps[-max(keep_last, 1):]
+            if not any(s["id"] == meta["current_snapshot_id"] for s in retained):
+                retained = retained + [
+                    s for s in snaps if s["id"] == meta["current_snapshot_id"]
+                ]
+            expired = [s for s in snaps if s not in retained]
+            if not expired and not clean_orphans:
+                return {
+                    "expired_snapshots": 0,
+                    "deleted_data_files": 0,
+                    "deleted_manifests": 0,
+                }
+            retained_ids = {s["id"] for s in retained}
+            keep_files: set[str] = set()
+            for sid in retained_ids:
+                keep_files |= {
+                    e["path"] for e in self._read_manifest(sid)
+                }
+            drop_files: set[str] = set()
+            for s in expired:
+                drop_files |= {
+                    e["path"] for e in self._read_manifest(s["id"])
+                }
+            drop_files -= keep_files
+            new_meta = dict(meta)
+            new_meta["snapshots"] = retained
+            try:
+                self._commit(new_meta, expected_version=meta["_version"])
+            except CommitConflict:
+                continue  # a writer appended mid-expire: recompute
+            for p in sorted(drop_files):
+                with contextlib_suppress(OSError):
+                    os.remove(p)
+            dropped_manifests = 0
+            for s in expired:
+                if s["id"] in retained_ids:
+                    continue  # content-addressed: shared with a survivor
+                with contextlib_suppress(OSError):
+                    os.remove(
+                        os.path.join(self._meta_dir, f"snap-{s['id']}.json")
+                    )
+                    dropped_manifests += 1
+            orphans = 0
+            if clean_orphans:
+                now = time.time()
+                for name in sorted(os.listdir(self._data_dir)):
+                    p = os.path.join(self._data_dir, name)
+                    if p in keep_files or not name.endswith(".parquet"):
+                        continue
+                    try:
+                        if now - os.path.getmtime(p) < orphan_grace_sec:
+                            continue
+                        os.remove(p)
+                        orphans += 1
+                    except OSError:
+                        pass
+            return {
+                "expired_snapshots": len(expired),
+                "deleted_data_files": len(drop_files),
+                "deleted_manifests": dropped_manifests,
+                "orphans_deleted": orphans,
+            }
+        raise CommitConflict(
+            f"expire lost {max_retries} commit races at {self.path}"
+        )
 
     # ---------------- read path
 

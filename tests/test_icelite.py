@@ -332,3 +332,151 @@ def test_metadata_is_plain_json(spark, events, tmp_path):
     # footer stats carry per-column min/max/null counts
     assert "event_id" in entry["stats"]
     assert set(entry["stats"]["event_id"]) == {"min", "max", "nulls"}
+
+
+# ----------------------------------------------------- table maintenance
+
+
+def _tiny_appends(spark, t, n_appends=4, files_per=2):
+    """Simulate a streaming sink: one small file set per micro-batch."""
+    for i in range(n_appends):
+        t.append(
+            spark,
+            _events(spark, n=60).withColumn(
+                "event_id", F.col("event_id") + 10_000 * (i + 1)
+            ),
+            target_files=files_per,
+        )
+
+
+def _disk_data_files(t):
+    return {
+        os.path.join(t._data_dir, f)
+        for f in os.listdir(t._data_dir)
+        if f.endswith(".parquet")
+    }
+
+
+def test_compact_rewrites_small_files(spark, events, tmp_path):
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), events,
+        partition_spec=[day("ts")], target_files=2,
+    )
+    _tiny_appends(spark, t)
+    pre_sid = t.current_snapshot_id()
+    pre, rep_pre = t.scan(spark)
+    pre_rows = sorted(r.event_id for r in pre.select("event_id").collect())
+    assert rep_pre.files_total == 10
+    sid = t.compact(
+        spark, small_file_bytes=32 << 20, target_file_bytes=16_384
+    )
+    assert sid is not None
+    cur, rep = t.scan(spark)
+    # identical content, far fewer files
+    assert sorted(r.event_id for r in cur.select("event_id").collect()) == pre_rows
+    assert rep.files_total < rep_pre.files_total
+    # the replace snapshot is recorded with lineage + rewrite summary
+    last = t.snapshots()[-1]
+    assert last["operation"] == "replace"
+    assert last["parent"] == pre_sid
+    assert last["summary"]["rewritten_files"] == 10
+    assert last["summary"]["total_records"] == len(pre_rows)
+    # time travel to the pre-compaction snapshot still reads all 10 files
+    old, rep_old = t.scan(spark, snapshot_id=pre_sid)
+    assert old.count() == len(pre_rows) and rep_old.files_total == 10
+    # compaction re-derives the hidden day(ts) clustering: pruning works
+    _, prep = t.scan(
+        spark, filters=[("ts", ">=", dt.datetime(2024, 3, 6))]
+    )
+    assert prep.files_kept < prep.files_total or prep.files_total == 1
+
+
+def test_compact_noop_below_thresholds(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=2)
+    v = t.current_version()
+    # every file is "large" under a 1-byte threshold -> no-op, no commit
+    assert t.compact(spark, small_file_bytes=1) is None
+    assert t.current_version() == v
+
+
+def test_compact_merges_with_concurrent_append(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=2)
+    _tiny_appends(spark, t, n_appends=2)
+
+    def race():
+        t.append(
+            spark,
+            _events(spark, n=50).withColumn(
+                "event_id", F.col("event_id") + 90_000
+            ),
+            target_files=1,
+        )
+
+    sid = t.compact(spark, small_file_bytes=32 << 20, _pre_commit=race)
+    assert sid is not None
+    cur, _ = t.scan(spark)
+    # both the concurrent append's rows and every pre-existing row survive
+    assert cur.count() == 600 + 2 * 60 + 50
+    assert cur.filter(F.col("event_id") >= 90_000).count() == 50
+
+
+def test_compact_aborts_on_concurrent_overwrite(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=2)
+    _tiny_appends(spark, t, n_appends=2)
+
+    def race():
+        t.overwrite(spark, _events(spark, n=30), target_files=1)
+
+    assert t.compact(spark, small_file_bytes=32 << 20, _pre_commit=race) is None
+    cur, _ = t.scan(spark)
+    assert cur.count() == 30  # the overwrite won, untouched
+    # the aborted rewrite left no orphan data files behind
+    referenced = set()
+    for s in t.snapshots():
+        referenced |= {e["path"] for e in t._read_manifest(s["id"])}
+    assert _disk_data_files(t) == referenced
+
+
+def test_expire_snapshots_bounds_storage(spark, events, tmp_path):
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), events,
+        partition_spec=[day("ts")], target_files=2,
+    )
+    _tiny_appends(spark, t)
+    t.compact(spark, small_file_bytes=32 << 20)
+    expired_sid = t.snapshots()[0]["id"]
+    n_files_before = len(_disk_data_files(t))
+    report = t.expire_snapshots(keep_last=1)
+    assert report["expired_snapshots"] == 5
+    assert report["deleted_data_files"] > 0
+    # current snapshot reads everything it always did
+    cur, _ = t.scan(spark)
+    assert cur.count() == 600 + 4 * 60
+    # expired snapshots are gone: unknown to scan, manifests removed
+    with pytest.raises(KeyError):
+        t.scan(spark, snapshot_id=expired_sid)
+    assert not os.path.exists(
+        os.path.join(t._meta_dir, f"snap-{expired_sid}.json")
+    )
+    # only retained-referenced files remain on disk
+    assert len(_disk_data_files(t)) < n_files_before
+    referenced = {
+        e["path"] for e in t._read_manifest(t.current_snapshot_id())
+    }
+    assert _disk_data_files(t) == referenced
+
+
+def test_expire_orphan_cleanup_respects_grace(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    fresh = os.path.join(t._data_dir, "zz-inflight-write.parquet")
+    stale = os.path.join(t._data_dir, "zz-aborted-write.parquet")
+    for p in (fresh, stale):
+        with open(p, "wb") as f:
+            f.write(b"PAR1junkPAR1")
+    os.utime(stale, (0, 0))  # long-dead orphan
+    report = t.expire_snapshots(
+        keep_last=1, clean_orphans=True, orphan_grace_sec=3600
+    )
+    assert report["orphans_deleted"] == 1
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # an in-flight writer's files survive

@@ -110,3 +110,41 @@ def test_run_stream_via_spark_submit(pyfiles_zip, tmp_path):
         "--parts", "4",
     )
     assert got["triples"] == N_TRIPLES
+
+
+def test_run_maintenance_via_spark_submit(pyfiles_zip, tmp_path, spark):
+    """The maintenance launch surface: publish the graph twice (two
+    overwrite snapshots per table), then run the compaction+expiration
+    job and verify history is pruned to one snapshot whose content is
+    intact and whose storage dropped to the retained manifest."""
+    pubdir = str(tmp_path / "pub")
+    for _ in range(2):
+        _submit(
+            pyfiles_zip, "run_pipeline.py",
+            "--pages", str(N_PAGES), "--parts", "8", "--publish", pubdir,
+        )
+    from ner_app_spark.tables.icelite import IceTable
+
+    t = IceTable(os.path.join(pubdir, "triples"))
+    assert len(t.snapshots()) == 2
+    got = _submit(
+        pyfiles_zip, "run_maintenance.py",
+        "--root", pubdir, "--small-file-mb", "32",
+        "--keep-last", "1", "--clean-orphans", "--orphan-grace-sec", "0",
+    )
+    for name in ("nodes", "edges", "triples"):
+        assert got["tables"][name]["snapshots_retained"] == 1, name
+        assert got["tables"][name]["expire"]["expired_snapshots"] >= 1
+    df, rep = t.scan(spark)
+    assert df.count() == N_TRIPLES
+    # storage is bounded: every file on disk is referenced by the one
+    # retained snapshot
+    data_dir = os.path.join(pubdir, "triples", "data")
+    on_disk = {
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir) if f.endswith(".parquet")
+    }
+    referenced = {
+        e["path"] for e in t._read_manifest(t.current_snapshot_id())
+    }
+    assert on_disk == referenced
