@@ -32,19 +32,26 @@ def main() -> int:
     ap.add_argument("--synth", type=int, default=0,
                     help="stage N synthetic pages as the landing dir")
     ap.add_argument("--chunks", type=int, default=4)
-    ap.add_argument("--sink", required=True)
+    ap.add_argument("--sink", help="batch-keyed parquet sink directory")
+    ap.add_argument("--table", help="land in a snapshot (icelite) triples "
+                    "table instead of a batch-keyed parquet sink — "
+                    "exactly-once via commit markers in the snapshot log")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--parts", type=int, default=8)
     ap.add_argument("--lang", default="ru")
     ap.add_argument("--max-files-per-trigger", type=int, default=1)
     ap.add_argument("--available-now", action="store_true", default=True)
     args = ap.parse_args()
+    if bool(args.sink) == bool(args.table):
+        ap.error("exactly one of --sink / --table is required")
 
     from ner_app_spark.session import get_session, scratch_base
     from ner_app_spark.sources.pages import synth_pages_df
     from ner_app_spark.streaming import (
         stage_chunks,
         stream_kg_triples,
+        stream_kg_triples_to_table,
+        table_triples_result,
         triples_result,
     )
 
@@ -63,10 +70,15 @@ def main() -> int:
         stage_chunks(pages, input_dir, "url", args.chunks)
         schema = pages.schema
 
-    q = stream_kg_triples(
+    sink_fn, result_fn, dest = (
+        (stream_kg_triples, triples_result, args.sink)
+        if args.sink
+        else (stream_kg_triples_to_table, table_triples_result, args.table)
+    )
+    q = sink_fn(
         spark,
         input_dir,
-        args.sink,
+        dest,
         args.checkpoint,
         schema=schema,
         lang=args.lang,
@@ -74,17 +86,22 @@ def main() -> int:
         max_files_per_trigger=args.max_files_per_trigger,
     )
     q.awaitTermination()
-    n = triples_result(spark, args.sink).count()
+    n = result_fn(spark, dest).count()
     if not args.input:
         import shutil
 
         shutil.rmtree(input_dir, ignore_errors=True)
     wall = round(time.monotonic() - t0, 3)
-    print(json.dumps({
+    out = {
         "wall_sec": wall,
         "triples": n,
         "triples_per_sec": round(n / wall, 2),
-    }))
+    }
+    if args.table:
+        from ner_app_spark.tables.icelite import IceTable
+
+        out["snapshots"] = len(IceTable(args.table).snapshots())
+    print(json.dumps(out))
     spark.stop()
     return 0
 

@@ -10,6 +10,7 @@ tables the batch job writes.
 """
 
 from .dedup import first_seen_result, streaming_first_seen
+from .icesink import stream_kg_triples_to_table, table_triples_result
 from .pipeline import stream_kg_triples, triples_result
 from .sources import stage_chunks
 from .windows import sentinel_ts, streaming_window_counts, window_counts_result
@@ -19,8 +20,10 @@ __all__ = [
     "sentinel_ts",
     "stage_chunks",
     "stream_kg_triples",
+    "stream_kg_triples_to_table",
     "streaming_first_seen",
     "streaming_window_counts",
+    "table_triples_result",
     "triples_result",
     "window_counts_result",
 ]

@@ -566,12 +566,16 @@ class IceTable:
         df: DataFrame,
         target_files: int | None = None,
         max_retries: int = 5,
+        summary_extra: dict | None = None,
     ) -> str:
         """Commit ``df`` as a new snapshot on top of current. New columns
         widen the snapshot schema (add-column evolution); columns the
         table has but ``df`` lacks are null-filled. On CommitConflict the
         manifest merge retries against the winner — the data files were
-        written once and are reused verbatim."""
+        written once and are reused verbatim. ``summary_extra`` merges
+        into the snapshot's summary — the hook a streaming sink uses to
+        stamp its (checkpoint, batch_id) commit marker (Iceberg stores
+        the same thing in snapshot summary properties)."""
         meta = self._read_meta()
         spec = [Transform.from_json(d) for d in meta["partition_spec"]]
         schema = StructType.fromJson(meta["schema_json"])
@@ -584,11 +588,12 @@ class IceTable:
             new_meta = dict(meta)
             new_meta["schema_json"] = json.loads(new_schema.json())
             new_meta["current_snapshot_id"] = sid
-            new_meta["snapshots"] = meta["snapshots"] + [
-                self._snap_entry(
-                    sid, meta["current_snapshot_id"], "append", added, files
-                )
-            ]
+            entry = self._snap_entry(
+                sid, meta["current_snapshot_id"], "append", added, files
+            )
+            if summary_extra:
+                entry["summary"].update(summary_extra)
+            new_meta["snapshots"] = meta["snapshots"] + [entry]
             try:
                 self._commit(new_meta, expected_version=meta["_version"])
                 return sid
@@ -788,6 +793,33 @@ class IceTable:
                     e["path"] for e in self._read_manifest(s["id"])
                 }
             drop_files -= keep_files
+            # carry streaming commit markers forward: expired snapshots
+            # may hold the (checkpoint, batch-id) stamps a streaming sink
+            # uses for exactly-once replay detection (icesink.py). Batch
+            # ids are monotone per checkpoint, so a {key: max_id} dict on
+            # the oldest retained snapshot preserves the full guarantee
+            # in O(#checkpoints) space.
+            carried: dict[str, int] = {}
+
+            def _absorb(summary: dict) -> None:
+                marker = summary.get("streaming_commit", "")
+                key, _, bid = marker.rpartition(":")
+                if key:
+                    carried[key] = max(carried.get(key, -1), int(bid))
+                for k, v in summary.get(
+                    "streaming_commits_carried", {}
+                ).items():
+                    carried[k] = max(carried.get(k, -1), int(v))
+
+            for s in expired:
+                _absorb(s["summary"])
+            retained = [dict(s) for s in retained]
+            if carried:
+                _absorb(retained[0]["summary"])
+                retained[0]["summary"] = {
+                    **retained[0]["summary"],
+                    "streaming_commits_carried": carried,
+                }
             new_meta = dict(meta)
             new_meta["snapshots"] = retained
             try:

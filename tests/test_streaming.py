@@ -283,3 +283,116 @@ def test_first_seen_with_rocksdb_state_store(spark, scratch):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+# ------------------------------------------------- snapshot-table sink
+
+
+def test_icesink_exactly_once_and_resume(spark, scratch):
+    """The icelite streaming sink: drain two chunks into a snapshot
+    table, drip two more, restart with the SAME checkpoint — the table
+    must hold each micro-batch exactly once (commit markers in the
+    snapshot log), and its content must equal the batch answer."""
+    from ner_app_spark.operators.extract import (
+        extract_phrases_and_triples,
+        fused_triples,
+    )
+    from ner_app_spark.sources.pages import synth_pages_df
+    from ner_app_spark.streaming import (
+        stream_kg_triples_to_table,
+        table_triples_result,
+    )
+    from ner_app_spark.streaming.icesink import (
+        checkpoint_key,
+        committed_batch_ids,
+    )
+    from ner_app_spark.tables.icelite import IceTable
+
+    pages = synth_pages_df(spark, 40)
+    inp, table, ckpt = f"{scratch}/in", f"{scratch}/table", f"{scratch}/ckpt"
+    quarters = [pages.filter(F.crc32(F.col("url")) % 4 == i) for i in range(4)]
+    add_chunk(quarters[0], inp, 0)
+    add_chunk(quarters[1], inp, 1)
+    q = stream_kg_triples_to_table(
+        spark, inp, table, ckpt, schema=pages.schema, num_partitions=4
+    )
+    q.awaitTermination()
+    key = checkpoint_key(ckpt)
+    assert committed_batch_ids(table, key) == {0, 1}
+
+    add_chunk(quarters[2], inp, 2)
+    add_chunk(quarters[3], inp, 3)
+    q2 = stream_kg_triples_to_table(
+        spark, inp, table, ckpt, schema=pages.schema, num_partitions=4
+    )
+    q2.awaitTermination()
+    assert committed_batch_ids(table, key) == {0, 1, 2, 3}
+    # one snapshot per micro-batch (+1 marker-only restamp of create)
+    ops = [s["operation"] for s in IceTable(table).snapshots()]
+    assert ops.count("append") == 3 and ops.count("create") == 1
+
+    res = table_triples_result(spark, table)
+    expected = fused_triples(
+        extract_phrases_and_triples(synth_pages_df(spark, 40), num_partitions=4)
+    )
+    assert res.exceptAll(expected).count() == 0
+    assert expected.exceptAll(res).count() == 0
+
+
+def test_icesink_replayed_batch_is_skipped(spark, scratch):
+    """Simulate the crash window (table committed, source offset not):
+    re-invoking commit_batch with an already-committed batch id must be
+    a no-op — no new snapshot, no duplicate rows."""
+    from ner_app_spark.streaming.icesink import commit_batch
+    from ner_app_spark.tables.icelite import IceTable
+
+    table = f"{scratch}/t"
+    df = spark.range(100).withColumnRenamed("id", "v")
+    assert commit_batch(spark, table, df, "ck", 0) is not None
+    assert commit_batch(spark, table, df.limit(7), "ck", 1) is not None
+    n_snaps = len(IceTable(table).snapshots())
+    n_rows = IceTable(table).scan(spark)[0].count()
+    # replay both batches: skipped
+    assert commit_batch(spark, table, df, "ck", 0) is None
+    assert commit_batch(spark, table, df.limit(7), "ck", 1) is None
+    assert len(IceTable(table).snapshots()) == n_snaps
+    assert IceTable(table).scan(spark)[0].count() == n_rows == 107
+    # a DIFFERENT checkpoint's batch 0 is new data, not a replay
+    assert commit_batch(spark, table, df.limit(3), "other", 0) is not None
+    assert IceTable(table).scan(spark)[0].count() == 110
+
+
+def test_icesink_table_survives_maintenance(spark, scratch):
+    """The per-trigger small files are exactly the compaction workload:
+    after compact + expire the content is intact AND the exactly-once
+    replay frontier survives — expire_snapshots folds expired commit
+    markers into a carried {checkpoint: max_batch_id} dict, so a replayed
+    batch is still skipped after its marker snapshot is long gone."""
+    from ner_app_spark.streaming.icesink import (
+        commit_batch,
+        committed_batch_ids,
+        last_committed_batch,
+    )
+    from ner_app_spark.tables.icelite import IceTable
+
+    table = f"{scratch}/t"
+    for i in range(4):
+        commit_batch(
+            spark, table, spark.range(i * 50, (i + 1) * 50), "ck", i,
+            target_files=2,
+        )
+    t = IceTable(table)
+    assert t.compact(spark, small_file_bytes=32 << 20) is not None
+    t.expire_snapshots(keep_last=1)
+    assert t.scan(spark)[0].count() == 200
+    # the live markers are gone with the expired snapshots ...
+    assert committed_batch_ids(table, "ck") == set()
+    # ... but the carried frontier preserves exactly-once: replays of any
+    # expired batch are still skipped, the next real batch commits
+    assert last_committed_batch(table, "ck") == 3
+    assert commit_batch(spark, table, spark.range(5), "ck", 2) is None
+    assert commit_batch(spark, table, spark.range(5), "ck", 3) is None
+    assert t.scan(spark)[0].count() == 200
+    assert commit_batch(spark, table, spark.range(200, 210), "ck", 4) is not None
+    assert t.scan(spark)[0].count() == 210
+    assert last_committed_batch(table, "ck") == 4
