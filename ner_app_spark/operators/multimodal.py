@@ -150,6 +150,63 @@ def _decode_gif_header(payload: bytes) -> dict | None:
     return {"width": w, "height": h, "n_frames": frames}
 
 
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _decode_mp4_header(payload: bytes) -> dict | None:
+    """Real (dependency-free) MP4 / ISO-BMFF decode: a recursive box walk
+    ('ftyp' brand gate; 64-bit largesize and to-end-of-file sizes per the
+    spec) that reads width/height from the first non-degenerate 'tkhd'
+    (16.16 fixed point, version 0 and 1 layouts) and the frame count from
+    the 'stsz' sample counts. Returns None if not ISO-BMFF or the walk
+    runs off a malformed box tree."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    found: dict = {"w": None, "h": None, "frames": 0, "bad": False}
+
+    def walk(start: int, end: int) -> None:
+        p = start
+        while p + 8 <= end and not found["bad"]:
+            size = int.from_bytes(payload[p : p + 4], "big")
+            btype = payload[p + 4 : p + 8]
+            body = p + 8
+            if size == 1:  # 64-bit largesize
+                if p + 16 > end:
+                    found["bad"] = True
+                    return
+                size = int.from_bytes(payload[p + 8 : p + 16], "big")
+                body = p + 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = end - p
+            if size < body - p or p + size > end:
+                found["bad"] = True
+                return
+            if btype in _MP4_CONTAINERS:
+                walk(body, p + size)
+            elif btype == b"tkhd" and body + 4 <= p + size:
+                ver = payload[body]
+                off = body + 4 + (84 if ver == 1 else 72)
+                if off + 8 <= p + size:
+                    w = int.from_bytes(payload[off : off + 2], "big")
+                    h = int.from_bytes(payload[off + 4 : off + 6], "big")
+                    if w and h and found["w"] is None:
+                        found["w"], found["h"] = w, h
+            elif btype == b"stsz" and body + 12 <= p + size:
+                found["frames"] += int.from_bytes(
+                    payload[body + 8 : body + 12], "big"
+                )
+            p += size
+
+    walk(0, len(payload))
+    if found["bad"] or (found["w"] is None and found["frames"] == 0):
+        return None
+    return {
+        "width": found["w"],
+        "height": found["h"],
+        "n_frames": found["frames"] or 1,
+    }
+
+
 def _decode_bmp_header(payload: bytes) -> dict | None:
     """Real (dependency-free) BMP decode of the BITMAPINFOHEADER:
     'BM' magic, biWidth / biHeight as LE int32 at offsets 18 / 22
@@ -184,6 +241,7 @@ def _decode_stub(payload: bytes, kind: str) -> dict:
         or _decode_wav_header(payload)
         or _decode_gif_header(payload)
         or _decode_bmp_header(payload)
+        or _decode_mp4_header(payload)
     )
     if real is not None:
         return {**real, "feature": _md5_features(payload)}
@@ -289,13 +347,52 @@ def synth_bmp(width: int, height: int) -> bytes:
     return b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 14 + 40) + info
 
 
+_MP4_MATRIX = struct.pack(
+    ">9i", 0x1_0000, 0, 0, 0, 0x1_0000, 0, 0, 0, 0x4000_0000
+)
+
+
+def synth_mp4(width: int, height: int, n_frames: int) -> bytes:
+    """Minimal deterministic MP4 (ISO-BMFF): ftyp, then moov{mvhd,
+    trak{tkhd, mdia{hdlr('vide'), minf{stbl{stsz}}}}} with spec-sized v0
+    boxes — tkhd carries width/height as 16.16 fixed point, stsz carries
+    the sample (frame) count with a constant sample_size so no per-sample
+    table follows. Canonical fixed layout: every box at a deterministic
+    offset, which is what lets the in-query SQL recheck read the fields
+    at constant positions (same device as the WAV fixture)."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200))
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 600, 600)
+        + struct.pack(">ih", 0x1_0000, 0x100) + b"\x00" * 10
+        + _MP4_MATRIX + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + struct.pack(">IIIII", 0, 0, 1, 0, 600)
+        + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0) + _MP4_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    hdlr = box(
+        b"hdlr", b"\x00" * 4 + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00"
+    )
+    stsz = box(b"stsz", b"\x00" * 4 + struct.pack(">II", 1, n_frames))
+    mdia = box(b"mdia", hdlr + box(b"minf", box(b"stbl", stsz)))
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+
+
 def synth_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
     """Deterministic media fixture rows (media_id, kind, payload, mime):
     images alternate REAL PNG and REAL BMP headers, every other audio is
-    a REAL WAV (RIFF-parsed), every other video a REAL multi-frame GIF
-    (block-walked); the rest stay opaque fakes so the md5 stub lane is
-    exercised too. Shared by synth_media_df and the DuckDB oracle
-    renderer (oracles._multimodal_sql inlines these payloads as hex)."""
+    a REAL WAV (RIFF-parsed), every other video alternates a REAL
+    multi-frame GIF (block-walked) and a REAL MP4 (ISO-BMFF box tree);
+    the rest stay opaque fakes so the md5 stub lane is exercised too.
+    Shared by synth_media_df and the DuckDB oracle renderer
+    (oracles._multimodal_sql inlines these payloads as hex)."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
@@ -309,7 +406,16 @@ def synth_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
         elif kind == "audio" and i % 2 == 1:
             payload, mime = synth_wav(100 + i * 7), "audio/wav"
         elif kind == "video" and i % 2 == 0:
-            payload, mime = synth_gif(48 + i, 27 + i, n_frames=2 + i % 5), "image/gif"
+            if i % 4 == 0:
+                payload, mime = (
+                    synth_gif(48 + i, 27 + i, n_frames=2 + i % 5),
+                    "image/gif",
+                )
+            else:
+                payload, mime = (
+                    synth_mp4(320 + i, 180 + i, n_frames=10 + i % 17),
+                    "video/mp4",
+                )
         else:
             payload, mime = opaque, f"{kind}/x-fake"
         rows.append((i, kind, payload, mime))

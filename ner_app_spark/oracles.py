@@ -643,12 +643,17 @@ def _hex_be32(col: str, p: int) -> str:
     ) + ")"
 
 
+def _hex_be16(col: str, p: int) -> str:
+    return f"({_hexbyte(col, p)} * 256 + {_hexbyte(col, p + 1)})"
+
+
 def _multimodal_sql(n: int = 64) -> str:
     """q_multimodal_features replayed in SQL: the fixture payloads are
     inlined as lowercase hex VALUES and every decode lane is recomputed
     ENGINE-SIDE by hex-string arithmetic — PNG IHDR big-endian dims, GIF
     logical-screen LE dims + fixture frame stride, BMP InfoHeader, WAV
-    data/block_align quotient, md5-derived dims for the opaque lane, and
+    data/block_align quotient, MP4 tkhd/stsz fields at the fixture's
+    canonical box offsets, md5-derived dims for the opaque lane, and
     all FEATURE_DIM md5 feature lanes (u32-LE of md5(payload || i),
     scaled, float32-narrowed). DuckDB's md5() only hashes VARCHAR, so the
     per-payload and per-lane md5 hex strings are precomputed at render
@@ -684,6 +689,7 @@ flags AS (
     substr(hp, 1, 8) = '52494646' AND substr(hp, 17, 8) = '57415645' AS is_wav,
     substr(hp, 1, 12) IN ('474946383761', '474946383961') AS is_gif,
     substr(hp, 1, 4) = '424d' AS is_bmp,
+    substr(hp, 9, 8) = '66747970' AS is_mp4,
     length(hp) // 2 AS plen
   FROM media),
 dims AS (
@@ -692,16 +698,19 @@ dims AS (
          WHEN is_wav THEN NULL
          WHEN is_gif THEN {_hex_le('hp', 7, 2)}
          WHEN is_bmp THEN {_hex_le('hp', 19, 4)}
+         WHEN is_mp4 THEN {_hex_be16('hp', 225)}
          ELSE 64 + {_hexbyte('mh', 1)} % 192 END AS width,
     CASE WHEN is_png THEN {_hex_be32('hp', 21)}
          WHEN is_wav THEN NULL
          WHEN is_gif THEN {_hex_le('hp', 9, 2)}
          WHEN is_bmp THEN {_hex_le('hp', 23, 4)}
+         WHEN is_mp4 THEN {_hex_be16('hp', 229)}
          ELSE 64 + {_hexbyte('mh', 2)} % 192 END AS height,
     CASE WHEN is_png THEN 1
          WHEN is_wav THEN {_hex_le('hp', 41, 4)} // {_hex_le('hp', 33, 2)}
          WHEN is_gif THEN (plen - 14) // 23
          WHEN is_bmp THEN 1
+         WHEN is_mp4 THEN {_hex_be32('hp', 306)}
          WHEN kind = 'image' THEN 1
          ELSE 1 + {_hexbyte('mh', 3)} % 32 END AS n_frames
   FROM flags)

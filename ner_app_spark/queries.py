@@ -996,10 +996,15 @@ def q_multimodal_features(spark, sf_dir):
     # metadata — the block-walked GIF frame count is pinned against the
     # fixture's canonical layout: 13-byte header + 23 bytes/frame
     # (8 GCE + 10 descriptor + 5 LZW blob) + 1 trailer, same style as the
-    # WAV fixture-layout recheck)
+    # WAV fixture-layout recheck); MP4 'ftyp' at offset 5 (the Python
+    # decoder walks the ISO-BMFF box tree, the SQL recheck pins the
+    # fixture's canonical box layout: tkhd 16.16 width/height integer
+    # parts at bytes 225/229, stsz sample_count at 306)
     is_gif = F.hex(F.substring(pay, 1, 6)).isin("474946383761", "474946383961")
     is_bmp = F.hex(F.substring(pay, 1, 2)) == "424D"
+    is_mp4 = F.hex(F.substring(pay, 5, 4)) == "66747970"
     be32 = lambda pos: F.conv(F.hex(F.substring(pay, pos, 4)), 16, 10).cast("long")
+    be16 = lambda pos: F.conv(F.hex(F.substring(pay, pos, 2)), 16, 10).cast("long")
     le16 = lambda pos: _bin_byte(pay, pos) + _bin_byte(pay, pos + 1) * 256
     le32 = lambda pos: (
         _bin_byte(pay, pos)
@@ -1012,6 +1017,7 @@ def q_multimodal_features(spark, sf_dir):
         .when(is_wav, F.lit(None).cast("long"))
         .when(is_gif, le16(7))
         .when(is_bmp, le32(19))
+        .when(is_mp4, be16(225))
         .otherwise(64 + _md5_byte(h, 0) % 192)
     )
     exp_h = (
@@ -1019,6 +1025,7 @@ def q_multimodal_features(spark, sf_dir):
         .when(is_wav, F.lit(None).cast("long"))
         .when(is_gif, le16(9))
         .when(is_bmp, le32(23))
+        .when(is_mp4, be16(229))
         .otherwise(64 + _md5_byte(h, 1) % 192)
     )
     exp_fr = (
@@ -1026,6 +1033,7 @@ def q_multimodal_features(spark, sf_dir):
         .when(is_wav, F.floor(le32(41) / le16(33)).cast("long"))
         .when(is_gif, F.floor((F.length(pay) - 14) / 23).cast("long"))
         .when(is_bmp, F.lit(1).cast("long"))
+        .when(is_mp4, be32(306))
         .otherwise(
             F.when(F.col("kind") == "image", F.lit(1).cast("long")).otherwise(
                 1 + _md5_byte(h, 2) % 32

@@ -95,8 +95,10 @@ def test_distributed_decode_real_and_stub_lanes(spark):
     assert (feats[6]["width"], feats[6]["height"], feats[6]["n_frames"]) == (30, 18, 1)
     # media_id 1 is an odd audio -> real WAV with 100+7 sample frames
     assert feats[1]["n_frames"] == 107 and feats[1]["width"] is None
-    # media_id 2 is an even video -> real GIF, 2 + 2%5 = 4 frames
-    assert (feats[2]["width"], feats[2]["height"], feats[2]["n_frames"]) == (50, 29, 4)
+    # media_id 8 is an even video with i%4==0 -> real GIF, 2 + 8%5 = 5 frames
+    assert (feats[8]["width"], feats[8]["height"], feats[8]["n_frames"]) == (56, 35, 5)
+    # media_id 2 is an even video with i%4!=0 -> real MP4 box tree
+    assert (feats[2]["width"], feats[2]["height"], feats[2]["n_frames"]) == (322, 182, 12)
     # media_id 5 is an odd video -> stub lane, md5-derived frames
     payload = hashlib.md5(b"42:5").digest() * (4 + 5 % 7)
     h = hashlib.md5(payload).digest()
@@ -113,3 +115,38 @@ def test_registry_row_check_holds(spark):
     rows = QUERIES["multimodal_features"](spark, "/root/testdata/sf0.01").collect()
     assert len(rows) == 64
     assert all(r["n_violations"] == 0 and r["check"] == 1 for r in rows)
+
+
+def test_mp4_header_parse():
+    from ner_app_spark.operators.multimodal import (
+        _decode_mp4_header,
+        synth_mp4,
+    )
+
+    assert _decode_mp4_header(synth_mp4(1920, 1080, 240)) == {
+        "width": 1920, "height": 1080, "n_frames": 240,
+    }
+    # version-1 tkhd (64-bit times): width offset shifts by 12
+    p = bytearray(synth_mp4(64, 32, 7))
+    i = p.index(b"tkhd") + 4
+    v1_body = (
+        b"\x01\x00\x00\x07" + b"\x00" * 8 * 2 + struct.pack(">II", 1, 0)
+        + b"\x00" * 8 + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+        + b"\x00" * 36 + struct.pack(">II", 64 << 16, 32 << 16)
+    )
+    v1 = struct.pack(">I", 8 + len(v1_body)) + b"tkhd" + v1_body
+    # rebuild: swap the v0 tkhd (92 bytes) for the v1 one and fix sizes
+    start = i - 8
+    grown = len(v1) - 92
+    p2 = bytearray(p[:start]) + v1 + p[start + 92:]
+    for pos in (16, p.index(b"trak") - 4):  # moov, trak size fields
+        old = struct.unpack(">I", p2[pos:pos + 4])[0]
+        p2[pos:pos + 4] = struct.pack(">I", old + grown)
+    assert _decode_mp4_header(bytes(p2)) == {
+        "width": 64, "height": 32, "n_frames": 7,
+    }
+    # malformed: box overruns its parent
+    bad = bytearray(synth_mp4(8, 8, 1))
+    bad[16:20] = struct.pack(">I", 10 ** 6)
+    assert _decode_mp4_header(bytes(bad)) is None
+    assert _decode_mp4_header(b"\x00\x00\x00\x08freeisom") is None
