@@ -867,6 +867,61 @@ class IceTable:
     def snapshots(self) -> list[dict]:
         return self._read_meta()["snapshots"]
 
+    def metadata_df(self, spark: SparkSession, kind: str) -> DataFrame:
+        """Queryable metadata tables, like Iceberg's ``table.snapshots``
+        / ``table.files`` / ``table.history``: the table's own metadata
+        as a DataFrame, so operational queries (snapshot audit, file-size
+        skew, small-file counts feeding a compaction trigger) are plain
+        Spark SQL. Metadata is O(files) JSON, so a local parallelize is
+        the right scale here — the data files are never touched."""
+        meta = self._read_meta()
+        if kind == "snapshots":
+            rows = [
+                (
+                    s["id"],
+                    s["parent"],
+                    s["operation"],
+                    int(s["summary"]["added_files"]),
+                    int(s["summary"]["added_records"]),
+                    int(s["summary"]["total_files"]),
+                    int(s["summary"]["total_records"]),
+                    json.dumps(s["summary"], sort_keys=True),
+                )
+                for s in meta["snapshots"]
+            ]
+            return spark.createDataFrame(
+                rows,
+                "snapshot_id string, parent_id string, operation string, "
+                "added_files long, added_records long, total_files long, "
+                "total_records long, summary string",
+            )
+        if kind == "history":
+            cur = meta["current_snapshot_id"]
+            rows = [
+                (s["id"], s["parent"], s["id"] == cur)
+                for s in meta["snapshots"]
+            ]
+            return spark.createDataFrame(
+                rows, "snapshot_id string, parent_id string, is_current boolean"
+            )
+        if kind == "files":
+            entries = self._read_manifest(meta["current_snapshot_id"])
+            rows = [
+                (
+                    e["path"],
+                    int(e["record_count"]),
+                    int(e["size_bytes"]),
+                    json.dumps(e["stats"], sort_keys=True),
+                )
+                for e in entries
+            ]
+            return spark.createDataFrame(
+                rows,
+                "file_path string, record_count long, size_bytes long, "
+                "column_stats string",
+            )
+        raise ValueError(f"unknown metadata table {kind!r}")
+
     def current_snapshot_id(self) -> str:
         return self._read_meta()["current_snapshot_id"]
 

@@ -480,3 +480,31 @@ def test_expire_orphan_cleanup_respects_grace(spark, events, tmp_path):
     assert report["orphans_deleted"] == 1
     assert not os.path.exists(stale)
     assert os.path.exists(fresh)  # an in-flight writer's files survive
+
+
+def test_metadata_tables_queryable(spark, events, tmp_path):
+    """snapshots/files/history as DataFrames (Iceberg's inspection
+    tables): operational queries — e.g. the small-file count that would
+    trigger compaction — are plain Spark SQL over table metadata."""
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=3)
+    t.append(spark, _events(spark, n=60), target_files=2)
+
+    snaps = t.metadata_df(spark, "snapshots")
+    assert [r.operation for r in snaps.orderBy("total_records").collect()] == [
+        "create", "append",
+    ]
+    assert snaps.filter(F.col("total_records") == 660).count() == 1
+
+    hist = t.metadata_df(spark, "history").collect()
+    assert sum(r.is_current for r in hist) == 1
+    cur = next(r for r in hist if r.is_current)
+    assert cur.parent_id == hist[0].snapshot_id
+
+    files = t.metadata_df(spark, "files")
+    assert files.count() == 5
+    small = files.filter(F.col("size_bytes") < 32 << 20).count()
+    assert small == 5  # everything is tiny at this sf -> compactable
+    assert files.filter(F.col("record_count") <= 0).count() == 0
+
+    with pytest.raises(ValueError):
+        t.metadata_df(spark, "partitions")
