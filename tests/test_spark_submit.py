@@ -148,3 +148,26 @@ def test_run_maintenance_via_spark_submit(pyfiles_zip, tmp_path, spark):
         e["path"] for e in t._read_manifest(t.current_snapshot_id())
     }
     assert on_disk == referenced
+
+
+def test_run_pipeline_from_snapshot_table_input(pyfiles_zip, tmp_path, spark):
+    """The north-rule input shape end-to-end: pages live IN a snapshot
+    (icelite) table — bucketed by url like a real landing table — and
+    the pipeline job reads them through the snapshot layer (--input
+    detects the metadata/ root). Counts must match the parquet-input
+    goldens exactly: the table layer is transparent to the plan."""
+    from ner_app_spark.sources.pages import synth_pages_df
+    from ner_app_spark.tables.icelite import IceTable, bucket
+
+    pages_root = str(tmp_path / "pages_table")
+    IceTable.create(
+        spark, pages_root, synth_pages_df(spark, N_PAGES),
+        partition_spec=[bucket("url", 8)], target_files=4,
+    )
+    got = _submit(
+        pyfiles_zip, "run_pipeline.py",
+        "--input", pages_root, "--parts", "8",
+    )
+    assert got["documents"] == N_PAGES
+    assert got["phrases"] == N_PHRASES
+    assert got["triples"] == N_TRIPLES
