@@ -164,7 +164,10 @@ def _decode_mp4_header(payload: bytes) -> dict | None:
         return None
     found: dict = {"w": None, "h": None, "frames": 0, "bad": False}
 
-    def walk(start: int, end: int) -> None:
+    def walk(start: int, end: int, depth: int = 0) -> None:
+        if depth > 16:  # spec trees are ~6 deep; adversarial nesting
+            found["bad"] = True  # must not exhaust the Python stack
+            return
         p = start
         while p + 8 <= end and not found["bad"]:
             size = int.from_bytes(payload[p : p + 4], "big")
@@ -182,7 +185,7 @@ def _decode_mp4_header(payload: bytes) -> dict | None:
                 found["bad"] = True
                 return
             if btype in _MP4_CONTAINERS:
-                walk(body, p + size)
+                walk(body, p + size, depth + 1)
             elif btype == b"tkhd" and body + 4 <= p + size:
                 ver = payload[body]
                 off = body + 4 + (84 if ver == 1 else 72)

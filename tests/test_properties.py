@@ -108,3 +108,55 @@ def test_with_rank_matches_python_sort(spark, rows):
         for i, t in enumerate(sorted(set(rows), key=lambda t: (-t[0], t[1])))
     }
     assert got == want
+
+
+# ----------------------------- media header walkers never crash or hang
+
+
+_payloads = st.binary(max_size=400)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_payloads)
+def test_media_decoders_total_on_arbitrary_bytes(raw):
+    """Every dependency-free header parser is TOTAL: arbitrary bytes
+    (including adversarial size fields) yield a dict or None — never an
+    exception, never an unbounded walk. The distributed decode stage
+    runs these on untrusted payload columns, so totality is the safety
+    property, not just robustness."""
+    from ner_app_spark.operators import multimodal as M
+
+    for fn in (
+        M._decode_png_header,
+        M._decode_wav_header,
+        M._decode_gif_header,
+        M._decode_bmp_header,
+        M._decode_mp4_header,
+    ):
+        out = fn(raw)
+        assert out is None or isinstance(out, dict)
+    d = M._decode_stub(raw, "video")
+    assert set(d) == {"width", "height", "n_frames", "feature"}
+    assert len(d["feature"]) == M.FEATURE_DIM
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.binary(max_size=200),
+    st.integers(min_value=0, max_value=280),
+    st.binary(min_size=1, max_size=8),
+)
+def test_mp4_walker_total_under_corruption(tail, pos, junk):
+    """Splice junk into a well-formed MP4 at any offset: the box walk
+    must terminate with None or a dict (size fields may now point
+    anywhere, including backwards/over the end)."""
+    from ner_app_spark.operators.multimodal import (
+        _decode_mp4_header,
+        synth_mp4,
+    )
+
+    base = bytearray(synth_mp4(64, 32, 5) + tail)
+    end = min(pos + len(junk), len(base))
+    base[pos:end] = junk[: end - pos]
+    out = _decode_mp4_header(bytes(base))
+    assert out is None or isinstance(out, dict)
