@@ -434,6 +434,17 @@ class IceTable:
         with open(p) as f:
             return json.load(f)["files"]
 
+    def _read_deletes(self, snapshot_id: str) -> list[dict]:
+        p = os.path.join(self._meta_dir, f"snap-{snapshot_id}.json")
+        with open(p) as f:
+            return json.load(f).get("deletes", [])
+
+    @staticmethod
+    def _next_seq(files: list[dict], deletes: list[dict]) -> int:
+        return max(
+            (e.get("seq", 0) for e in files + deletes), default=-1
+        ) + 1
+
     def _commit(self, meta: dict, expected_version: int) -> int:
         """Claim v{expected_version+1} atomically (O_CREAT|O_EXCL). Raises
         CommitConflict if another writer got there first."""
@@ -461,11 +472,15 @@ class IceTable:
         os.replace(tmp, os.path.join(self._meta_dir, "version-hint.text"))
         return new_v
 
-    def _write_manifest(self, files: list[dict]) -> str:
+    def _write_manifest(
+        self, files: list[dict], deletes: list[dict] | None = None
+    ) -> str:
         """Content-addressed manifest: snapshot id = md5 of the canonical
         file list (same write-once device as the reference's
         text_service.py:21-23 and plans/artifacts.py)."""
-        body = json.dumps({"files": files}, sort_keys=True)
+        body = json.dumps(
+            {"files": files, "deletes": deletes or []}, sort_keys=True
+        )
         sid = md5(body.encode()).hexdigest()[:16]
         p = os.path.join(self._meta_dir, f"snap-{sid}.json")
         if not os.path.exists(p):
@@ -490,6 +505,8 @@ class IceTable:
         os.makedirs(t._data_dir, exist_ok=True)
         spec = partition_spec or []
         entries = t._write_data(spark, df, spec, target_files)
+        for e in entries:
+            e["seq"] = 0
         sid = t._write_manifest(entries)
         meta = {
             "format": _FMT,
@@ -583,8 +600,12 @@ class IceTable:
         added = self._write_data(spark, aligned, spec, target_files)
         for _ in range(max_retries):
             base = self._read_manifest(meta["current_snapshot_id"])
+            base_deletes = self._read_deletes(meta["current_snapshot_id"])
+            seq = self._next_seq(base, base_deletes)
+            for e in added:
+                e["seq"] = seq
             files = base + added
-            sid = self._write_manifest(files)
+            sid = self._write_manifest(files, base_deletes)
             new_meta = dict(meta)
             new_meta["schema_json"] = json.loads(new_schema.json())
             new_meta["current_snapshot_id"] = sid
@@ -621,6 +642,12 @@ class IceTable:
         meta = self._read_meta()
         spec = [Transform.from_json(d) for d in meta["partition_spec"]]
         added = self._write_data(spark, df, spec, target_files)
+        cur = self._read_manifest(meta["current_snapshot_id"])
+        seq = self._next_seq(cur, self._read_deletes(meta["current_snapshot_id"]))
+        for e in added:
+            e["seq"] = seq
+        # table contents replaced wholesale: prior equality deletes have
+        # nothing left to apply to, so the new manifest carries none
         sid = self._write_manifest(added)
         new_meta = dict(meta)
         new_meta["schema_json"] = json.loads(df.schema.json())
@@ -632,6 +659,61 @@ class IceTable:
         ]
         self._commit(new_meta, expected_version=meta["_version"])
         return sid
+
+    def delete(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        max_retries: int = 5,
+    ) -> str:
+        """Equality delete (Iceberg v2 delete files): remove every row
+        whose key tuple appears in ``keys_df`` — the columns of
+        ``keys_df`` ARE the key columns. The keys are written ONCE as
+        immutable delete files (a distributed write; a GDPR takedown of
+        a billion urls is a normal DataFrame, never driver state) and the
+        commit is metadata-only: no data file is rewritten. Scans apply
+        the delete by sequence number — rows APPENDED after the delete
+        with the same key survive (upsert pattern: ``delete`` then
+        ``append``). Compaction physically purges deleted rows and drops
+        delete files that no longer apply to any remaining data file;
+        history stays time-travelable until expire_snapshots."""
+        meta = self._read_meta()
+        schema_cols = set(StructType.fromJson(meta["schema_json"]).fieldNames())
+        key_cols = list(keys_df.columns)
+        missing = [c for c in key_cols if c not in schema_cols]
+        if missing:
+            raise ValueError(f"delete key columns not in table: {missing}")
+        written = self._write_data(
+            spark, keys_df.dropDuplicates(key_cols), spec=[], target_files=None
+        )
+        for _ in range(max_retries):
+            meta = self._read_meta()
+            base = self._read_manifest(meta["current_snapshot_id"])
+            base_deletes = self._read_deletes(meta["current_snapshot_id"])
+            seq = self._next_seq(base, base_deletes)
+            dentries = [
+                {**e, "key_cols": key_cols, "seq": seq} for e in written
+            ]
+            deletes = base_deletes + dentries
+            sid = self._write_manifest(base, deletes)
+            entry = self._snap_entry(
+                sid, meta["current_snapshot_id"], "delete", [], base
+            )
+            entry["summary"]["delete_files"] = len(dentries)
+            entry["summary"]["deleted_key_records"] = sum(
+                e["record_count"] for e in dentries
+            )
+            new_meta = dict(meta)
+            new_meta["current_snapshot_id"] = sid
+            new_meta["snapshots"] = meta["snapshots"] + [entry]
+            try:
+                self._commit(new_meta, expected_version=meta["_version"])
+                return sid
+            except CommitConflict:
+                continue  # delete files immutable: metadata-only retry
+        raise CommitConflict(
+            f"delete lost {max_retries} commit races at {self.path}"
+        )
 
     # ---------------- table maintenance
 
@@ -673,16 +755,28 @@ class IceTable:
         """
         meta = self._read_meta()
         base = self._read_manifest(meta["current_snapshot_id"])
+        base_deletes = self._read_deletes(meta["current_snapshot_id"])
         inputs = [e for e in base if e["size_bytes"] < small_file_bytes]
         if len(inputs) < min_input_files:
             return None
         in_paths = {e["path"] for e in inputs}
         in_records = sum(e["record_count"] for e in inputs)
+        rewrite_seq = max(e.get("seq", 0) for e in inputs)
         spec = [Transform.from_json(d) for d in meta["partition_spec"]]
         schema = StructType.fromJson(meta["schema_json"])
         df = (
             spark.read.option("mergeSchema", "true")
             .parquet(*sorted(in_paths))
+        )
+        # physically purge equality-deleted rows while rewriting (the
+        # rewritten files keep the max input seq, so a delete committed
+        # concurrently — which necessarily gets a higher seq — still
+        # applies to them at scan time; already-applied deletes re-apply
+        # as no-ops until pruned)
+        df = _apply_equality_deletes(
+            spark, df,
+            {e["path"]: e.get("seq", 0) for e in inputs},
+            base_deletes,
         )
         # project to the snapshot schema exactly as scan() does: hidden
         # _p_* columns drop (the rewrite re-derives them), evolved-in
@@ -695,17 +789,21 @@ class IceTable:
                 for f in schema.fields
             ]
         )
+        # with live deletes the conserved quantity is the SURVIVOR count
+        expect_records = df.count() if base_deletes else in_records
         n_out = max(
             1, -(-sum(e["size_bytes"] for e in inputs) // target_file_bytes)
         )
         rewritten = self._write_data(spark, df, spec, target_files=n_out)
-        if sum(e["record_count"] for e in rewritten) != in_records:
+        for e in rewritten:
+            e["seq"] = rewrite_seq
+        if sum(e["record_count"] for e in rewritten) != expect_records:
             for e in rewritten:
                 with contextlib_suppress(OSError):
                     os.remove(e["path"])
             raise RuntimeError(
                 f"compaction dropped rows at {self.path}: "
-                f"{in_records} in, "
+                f"{expect_records} expected, "
                 f"{sum(e['record_count'] for e in rewritten)} out"
             )
         if _pre_commit is not None:
@@ -724,7 +822,24 @@ class IceTable:
             files = [
                 e for e in base if e["path"] not in in_paths
             ] + rewritten
-            sid = self._write_manifest(files)
+            # prune delete files whose every target was just purged: a
+            # delete we APPLIED during the rewrite (it was in
+            # base_deletes) survives only if some UNTOUCHED data file
+            # still has seq <= its seq; a delete committed concurrently
+            # (not applied to the rewrite) is always kept — its keys are
+            # still present in the rewritten files and the seq rule
+            # still removes them at scan time
+            applied_paths = {d["path"] for d in base_deletes}
+            untouched_seqs = [
+                e.get("seq", 0) for e in base if e["path"] not in in_paths
+            ]
+            cur_deletes = self._read_deletes(meta["current_snapshot_id"])
+            live_deletes = [
+                d for d in cur_deletes
+                if d["path"] not in applied_paths
+                or any(s <= d.get("seq", 0) for s in untouched_seqs)
+            ]
+            sid = self._write_manifest(files, live_deletes)
             entry = self._snap_entry(
                 sid, meta["current_snapshot_id"], "replace", rewritten, files
             )
@@ -785,12 +900,15 @@ class IceTable:
             keep_files: set[str] = set()
             for sid in retained_ids:
                 keep_files |= {
-                    e["path"] for e in self._read_manifest(sid)
+                    e["path"]
+                    for e in self._read_manifest(sid) + self._read_deletes(sid)
                 }
             drop_files: set[str] = set()
             for s in expired:
                 drop_files |= {
-                    e["path"] for e in self._read_manifest(s["id"])
+                    e["path"]
+                    for e in self._read_manifest(s["id"])
+                    + self._read_deletes(s["id"])
                 }
             drop_files -= keep_files
             # carry streaming commit markers forward: expired snapshots
@@ -911,6 +1029,7 @@ class IceTable:
                     e["path"],
                     int(e["record_count"]),
                     int(e["size_bytes"]),
+                    int(e.get("seq", 0)),
                     json.dumps(e["stats"], sort_keys=True),
                 )
                 for e in entries
@@ -918,7 +1037,23 @@ class IceTable:
             return spark.createDataFrame(
                 rows,
                 "file_path string, record_count long, size_bytes long, "
-                "column_stats string",
+                "seq long, column_stats string",
+            )
+        if kind == "deletes":
+            entries = self._read_deletes(meta["current_snapshot_id"])
+            rows = [
+                (
+                    e["path"],
+                    json.dumps(e["key_cols"]),
+                    int(e["record_count"]),
+                    int(e.get("seq", 0)),
+                )
+                for e in entries
+            ]
+            return spark.createDataFrame(
+                rows,
+                "file_path string, key_cols string, record_count long, "
+                "seq long",
             )
         raise ValueError(f"unknown metadata table {kind!r}")
 
@@ -967,6 +1102,11 @@ class IceTable:
             spark.read.option("mergeSchema", "true")
             .parquet(*[e["path"] for e in kept])
         )
+        df = _apply_equality_deletes(
+            spark, df,
+            {e["path"]: e.get("seq", 0) for e in kept},
+            self._read_deletes(sid),
+        )
         # project to the snapshot schema: hidden _p_* columns drop out,
         # evolved-in columns missing from old files read as null
         proj = [
@@ -997,6 +1137,58 @@ def _align_for_append(df: DataFrame, schema: StructType):
             cols.append(F.col(f.name))
             new_schema = new_schema.add(f)
     return df.select(*cols), new_schema
+
+
+def _apply_equality_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    path_seq: dict[str, int],
+    deletes: list[dict],
+) -> DataFrame:
+    """Apply equality-delete files to rows read from the data files in
+    ``path_seq`` (path -> data sequence number). Iceberg's rule: a delete
+    with sequence number D removes a row from a data file with sequence
+    number S iff S <= D — so a key re-added AFTER a delete survives
+    (upsert semantics). Because sequence numbers are monotone, the rule
+    collapses to a per-key MAX delete seq: row deleted iff
+    max_dseq(key) >= row's file seq. One broadcast of the O(files)
+    path->seq dim plus one join per distinct key-column set — no
+    per-file work, no driver loops; the delete side is a normal
+    DataFrame, so AQE broadcasts it when it is small and shuffles when a
+    regulator hands you a billion urls."""
+    if not deletes:
+        return df
+    from collections import defaultdict
+
+    pmap = spark.createDataFrame(
+        [(p, s) for p, s in path_seq.items()], "__path string, __fseq long"
+    )
+    df = (
+        df.withColumn(
+            "__path", F.regexp_replace(F.input_file_name(), "^file://", "")
+        )
+        .join(F.broadcast(pmap), "__path", "left")
+        .withColumn("__fseq", F.coalesce("__fseq", F.lit(0)))
+    )
+    groups: dict[tuple, list[dict]] = defaultdict(list)
+    for d in deletes:
+        groups[tuple(d["key_cols"])].append(d)
+    for key_cols, group in groups.items():
+        dels = None
+        for d in group:
+            part = (
+                spark.read.parquet(d["path"])
+                .select(*key_cols)
+                .withColumn("__dseq", F.lit(d.get("seq", 0)).cast("long"))
+            )
+            dels = part if dels is None else dels.unionByName(part)
+        dels = dels.groupBy(*key_cols).agg(F.max("__dseq").alias("__dseq"))
+        df = (
+            df.join(dels, list(key_cols), "left")
+            .where(F.col("__dseq").isNull() | (F.col("__dseq") < F.col("__fseq")))
+            .drop("__dseq")
+        )
+    return df.drop("__path", "__fseq")
 
 
 # ------------------------------------------------- KG pipeline publishing

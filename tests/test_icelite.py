@@ -508,3 +508,108 @@ def test_metadata_tables_queryable(spark, events, tmp_path):
 
     with pytest.raises(ValueError):
         t.metadata_df(spark, "partitions")
+
+
+# ------------------------------------------------------ equality deletes
+
+
+def test_delete_removes_keys_and_keeps_history(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=3)
+    pre = t.current_snapshot_id()
+    keys = spark.createDataFrame([(i,) for i in range(0, 600, 3)], "event_id long")
+    t.delete(spark, keys)
+    cur, _ = t.scan(spark)
+    assert cur.count() == 400
+    assert cur.filter(F.col("event_id") % 3 == 0).count() == 0
+    # metadata-only commit: no data file rewritten, delete recorded
+    last = t.snapshots()[-1]
+    assert last["operation"] == "delete"
+    assert last["summary"]["deleted_key_records"] == 200
+    # time travel to the pre-delete snapshot still sees every row
+    old, _ = t.scan(spark, snapshot_id=pre)
+    assert old.count() == 600
+    # the deletes metadata table is queryable
+    d = t.metadata_df(spark, "deletes").collect()
+    assert len(d) >= 1 and json.loads(d[0].key_cols) == ["event_id"]
+
+
+def test_delete_then_append_is_an_upsert(spark, events, tmp_path):
+    """Sequence-number semantics: a key re-added AFTER the delete
+    survives; the old row stays dead."""
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=2)
+    t.delete(spark, spark.createDataFrame([(7,)], "event_id long"))
+    assert t.scan(spark)[0].filter(F.col("event_id") == 7).count() == 0
+    fresh = _events(spark, n=8).filter(F.col("event_id") == 7).withColumn(
+        "amount", F.lit(999.0)
+    )
+    t.append(spark, fresh, target_files=1)
+    rows = t.scan(spark)[0].filter(F.col("event_id") == 7).collect()
+    assert len(rows) == 1 and rows[0].amount == 999.0
+    # a SECOND delete kills the re-added row too (higher seq)
+    t.delete(spark, spark.createDataFrame([(7,)], "event_id long"))
+    assert t.scan(spark)[0].filter(F.col("event_id") == 7).count() == 0
+
+
+def test_delete_multi_column_key(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=2)
+    keys = spark.createDataFrame(
+        [("u001", "view"), ("u002", "buy")], "user_id string, kind string"
+    )
+    t.delete(spark, keys)
+    cur, _ = t.scan(spark)
+    want = events.filter(
+        ~(
+            ((F.col("user_id") == "u001") & (F.col("kind") == "view"))
+            | ((F.col("user_id") == "u002") & (F.col("kind") == "buy"))
+        )
+    ).count()
+    assert cur.count() == want
+    with pytest.raises(ValueError):
+        t.delete(spark, spark.createDataFrame([(1,)], "nope long"))
+
+
+def test_compact_purges_deleted_rows(spark, events, tmp_path):
+    """Compaction physically applies equality deletes: rewritten files
+    hold only survivors, stale delete files are pruned from the new
+    manifest, and the scan answer is unchanged."""
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=3)
+    t.append(spark, _events(spark, n=60).withColumn(
+        "event_id", F.col("event_id") + 10_000), target_files=2)
+    t.delete(
+        spark,
+        spark.createDataFrame([(i,) for i in range(0, 600, 2)], "event_id long"),
+    )
+    before = sorted(
+        r.event_id for r in t.scan(spark)[0].select("event_id").collect()
+    )
+    assert len(before) == 300 + 60
+    sid = t.compact(spark, small_file_bytes=32 << 20)
+    assert sid is not None
+    after = sorted(
+        r.event_id for r in t.scan(spark)[0].select("event_id").collect()
+    )
+    assert after == before
+    # survivors only, physically: manifest record counts == scan count
+    files = t.metadata_df(spark, "files").collect()
+    assert sum(r.record_count for r in files) == len(before)
+    # every input was rewritten -> the delete no longer applies anywhere
+    assert t.metadata_df(spark, "deletes").count() == 0
+
+
+def test_delete_with_filters_and_pruning(spark, events, tmp_path):
+    """Deletes compose with stats pruning and residual filters: the
+    pruned scan answer equals the plain-DataFrame evaluation."""
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), events,
+        partition_spec=[identity("kind")], target_files=8,
+    )
+    t.delete(
+        spark,
+        events.filter(F.col("amount") > 90.0).select("event_id"),
+    )
+    df, rep = t.scan(spark, filters=[("kind", "=", "buy")])
+    want = events.filter(
+        (F.col("kind") == "buy") & ~(F.col("amount") > 90.0)
+    ).count()
+    assert df.count() == want
+    assert rep.files_kept < rep.files_total
