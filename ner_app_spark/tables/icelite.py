@@ -38,14 +38,21 @@ parquet files + JSON metadata:
     the snapshot schema is the union, old files read as null via
     mergeSchema, missing columns in an append are null-filled.
 
+  * **equality deletes (v2 delete files) + sequence numbers** — row-level
+    deletes land as immutable key files applied at scan time by the
+    spec's sequence rule (a delete removes rows only from data files
+    with sequence <= its own, so delete-then-append is an upsert);
+    compaction physically purges and prunes spent delete files. See
+    :meth:`IceTable.delete`.
+
 Deliberate simplifications vs the real spec, each declared: one JSON
 manifest per snapshot instead of a manifest-list tree (sharding the file
 list across manifest files is a pure fan-out of the same footer job);
-no row-level deletes (overwrite is whole-table — the KG pipeline's
-publish pattern); no sort orders or branch refs. Metadata stays O(files)
-JSON — at a real deployment's file counts the manifest job's .collect()
-becomes a manifest-file write per task, which is exactly what Iceberg
-does.
+equality deletes only (no positional deletes — those need a writer that
+tracks row offsets); no sort orders or branch refs. Metadata stays
+O(files) JSON — at a real deployment's file counts the manifest job's
+.collect() becomes a manifest-file write per task, which is exactly what
+Iceberg does.
 
 Reference behavior reproduced: the reference app persists analysis
 results content-addressed and write-once (src/services/text_service.py:
