@@ -171,3 +171,34 @@ def test_run_pipeline_from_snapshot_table_input(pyfiles_zip, tmp_path, spark):
     assert got["documents"] == N_PAGES
     assert got["phrases"] == N_PHRASES
     assert got["triples"] == N_TRIPLES
+
+
+def test_run_takedown_via_spark_submit(pyfiles_zip, tmp_path, spark):
+    """The takedown launch surface: publish the graph, remove two urls'
+    triples via an equality-delete commit with immediate history expiry,
+    and verify the removal both in the job report and by scanning."""
+    pubdir = str(tmp_path / "pub")
+    _submit(
+        pyfiles_zip, "run_pipeline.py",
+        "--pages", str(N_PAGES), "--parts", "8", "--publish", pubdir,
+    )
+    from ner_app_spark.tables.icelite import IceTable
+
+    table = os.path.join(pubdir, "triples")
+    t = IceTable(table)
+    df, _ = t.scan(spark)
+    victims = df.select("url").distinct().limit(2)
+    n_victim_rows = df.join(victims, "url", "semi").count()
+    keys_path = str(tmp_path / "keys.parquet")
+    victims.write.parquet(keys_path)
+    got = _submit(
+        pyfiles_zip, "run_takedown.py",
+        "--table", table, "--keys", keys_path, "--expire-history", "1",
+    )
+    assert got["key_cols"] == ["url"]
+    assert got["rows_before"] == N_TRIPLES
+    assert got["rows_removed"] == n_victim_rows > 0
+    assert got["expire"]["expired_snapshots"] >= 1
+    after, _ = t.scan(spark)
+    assert after.count() == N_TRIPLES - n_victim_rows
+    assert after.join(victims, "url", "semi").count() == 0
