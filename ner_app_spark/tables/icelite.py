@@ -582,7 +582,16 @@ class IceTable:
                 paths.append(dst)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-        return _footer_entries(spark, paths)
+        entries = _footer_entries(spark, paths)
+        # drop zero-record part files (an empty input partition still
+        # writes one): they carry nothing, and a streaming sink's empty
+        # triggers would otherwise grow the manifest forever
+        keep = [e for e in entries if e["record_count"] > 0]
+        for e in entries:
+            if e["record_count"] == 0:
+                with contextlib_suppress(OSError):
+                    os.remove(e["path"])
+        return keep
 
     def append(
         self,

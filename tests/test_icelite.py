@@ -613,3 +613,21 @@ def test_delete_with_filters_and_pruning(spark, events, tmp_path):
     ).count()
     assert df.count() == want
     assert rep.files_kept < rep.files_total
+
+
+def test_delete_on_evolved_column_spares_null_keys(spark, events, tmp_path):
+    """Deleting by a column added AFTER some files were written: rows
+    from old files read that key as NULL, and NULL never equals a delete
+    key — pre-evolution rows survive (SQL comparison semantics, same
+    rule stats pruning uses)."""
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=2)
+    evolved = _events(spark, n=40).withColumn(
+        "event_id", F.col("event_id") + 5000
+    ).withColumn("tenant", F.concat(F.lit("t"), (F.col("event_id") % 2).cast("string")))
+    t.append(spark, evolved, target_files=1)
+    t.delete(spark, spark.createDataFrame([("t0",)], "tenant string"))
+    cur, _ = t.scan(spark)
+    # all 600 pre-evolution rows survive; only tenant=t0 rows die
+    assert cur.filter(F.col("tenant").isNull()).count() == 600
+    assert cur.filter(F.col("tenant") == "t0").count() == 0
+    assert cur.count() == 600 + 20

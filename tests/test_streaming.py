@@ -396,3 +396,22 @@ def test_icesink_table_survives_maintenance(spark, scratch):
     assert commit_batch(spark, table, spark.range(200, 210), "ck", 4) is not None
     assert t.scan(spark)[0].count() == 210
     assert last_committed_batch(table, "ck") == 4
+
+
+def test_icesink_empty_batch_commits_marker_only(spark, scratch):
+    """An empty micro-batch (e.g. a trigger that matched zero rows) must
+    still advance the replay frontier — marker committed, no data files."""
+    from ner_app_spark.streaming.icesink import commit_batch, last_committed_batch
+    from ner_app_spark.tables.icelite import IceTable
+
+    table = f"{scratch}/t"
+    df = spark.range(10).withColumnRenamed("id", "v")
+    commit_batch(spark, table, df, "ck", 0)
+    empty = df.filter(F.col("v") < 0)
+    assert commit_batch(spark, table, empty, "ck", 1) is not None
+    t = IceTable(table)
+    assert last_committed_batch(table, "ck") == 1
+    assert t.scan(spark)[0].count() == 10
+    assert t.snapshots()[-1]["summary"]["added_files"] == 0
+    # replay of the empty batch is still skipped
+    assert commit_batch(spark, table, empty, "ck", 1) is None
