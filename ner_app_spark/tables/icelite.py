@@ -44,15 +44,19 @@ parquet files + JSON metadata:
     with sequence <= its own, so delete-then-append is an upsert);
     compaction physically purges and prunes spent delete files. See
     :meth:`IceTable.delete`.
+  * **write sort orders (Iceberg SortOrder)** — a table-level sort order
+    range-sorts every write (and compaction rewrite) on the sort
+    columns, making their per-file min/max tight and disjoint, so stats
+    pruning on a sorted column is near-exact with no partition
+    transform at all.
 
 Deliberate simplifications vs the real spec, each declared: one JSON
 manifest per snapshot instead of a manifest-list tree (sharding the file
 list across manifest files is a pure fan-out of the same footer job);
 equality deletes only (no positional deletes — those need a writer that
-tracks row offsets); no sort orders or branch refs. Metadata stays
-O(files) JSON — at a real deployment's file counts the manifest job's
-.collect() becomes a manifest-file write per task, which is exactly what
-Iceberg does.
+tracks row offsets); no branch refs. Metadata stays O(files) JSON — at a
+real deployment's file counts the manifest job's .collect() becomes a
+manifest-file write per task, which is exactly what Iceberg does.
 
 Reference behavior reproduced: the reference app persists analysis
 results content-addressed and write-once (src/services/text_service.py:
@@ -506,12 +510,15 @@ class IceTable:
         df: DataFrame,
         partition_spec: list[Transform] | None = None,
         target_files: int | None = None,
+        sort_order: list[str] | None = None,
     ) -> "IceTable":
         t = IceTable(path)
         os.makedirs(t._meta_dir, exist_ok=True)
         os.makedirs(t._data_dir, exist_ok=True)
         spec = partition_spec or []
-        entries = t._write_data(spark, df, spec, target_files)
+        entries = t._write_data(
+            spark, df, spec, target_files, sort_cols=sort_order
+        )
         for e in entries:
             e["seq"] = 0
         sid = t._write_manifest(entries)
@@ -519,6 +526,7 @@ class IceTable:
             "format": _FMT,
             "schema_json": json.loads(df.schema.json()),
             "partition_spec": [tr.to_json() for tr in spec],
+            "sort_order": list(sort_order or []),
             "current_snapshot_id": sid,
             "snapshots": [
                 t._snap_entry(sid, None, "create", entries, entries)
@@ -547,21 +555,35 @@ class IceTable:
         df: DataFrame,
         spec: list[Transform],
         target_files: int | None,
+        sort_cols: list[str] | None = None,
     ) -> list[dict]:
         """Write immutable, uniquely-named data files clustered by the
         partition transforms, then harvest their footer stats. The
         hidden ``_p_*`` columns are stored IN the files — their per-file
-        min/max are the manifest's partition tuple."""
+        min/max are the manifest's partition tuple. ``sort_cols`` is the
+        table's write sort order (Iceberg SortOrder): within a partition
+        spec it locally sorts each file; without one it performs a
+        global range sort (repartitionByRange + local sort), which makes
+        the per-file min/max of the sort columns tight and DISJOINT —
+        turning stats pruning on those columns from heuristic to
+        near-exact without any partition transform."""
         staged = df.select(
             *df.columns, *[tr.spark_expr().alias(tr.name) for tr in spec]
         )
         pcols = [tr.name for tr in spec]
+        sort_cols = sort_cols or []
         if pcols:
             staged = (
                 staged.repartition(target_files, *pcols)
                 if target_files
                 else staged.repartition(*pcols)
-            ).sortWithinPartitions(*pcols)
+            ).sortWithinPartitions(*pcols, *sort_cols)
+        elif sort_cols:
+            staged = (
+                staged.repartitionByRange(target_files, *sort_cols)
+                if target_files
+                else staged.repartitionByRange(*sort_cols)
+            ).sortWithinPartitions(*sort_cols)
         elif target_files:
             staged = staged.repartition(target_files)
         token = uuid.uuid4().hex[:12]
@@ -613,7 +635,10 @@ class IceTable:
         spec = [Transform.from_json(d) for d in meta["partition_spec"]]
         schema = StructType.fromJson(meta["schema_json"])
         aligned, new_schema = _align_for_append(df, schema)
-        added = self._write_data(spark, aligned, spec, target_files)
+        added = self._write_data(
+            spark, aligned, spec, target_files,
+            sort_cols=meta.get("sort_order", []),
+        )
         for _ in range(max_retries):
             base = self._read_manifest(meta["current_snapshot_id"])
             base_deletes = self._read_deletes(meta["current_snapshot_id"])
@@ -657,7 +682,10 @@ class IceTable:
         travel — expiring them is a vacuum job, not a commit."""
         meta = self._read_meta()
         spec = [Transform.from_json(d) for d in meta["partition_spec"]]
-        added = self._write_data(spark, df, spec, target_files)
+        added = self._write_data(
+            spark, df, spec, target_files,
+            sort_cols=meta.get("sort_order", []),
+        )
         cur = self._read_manifest(meta["current_snapshot_id"])
         seq = self._next_seq(cur, self._read_deletes(meta["current_snapshot_id"]))
         for e in added:
@@ -810,7 +838,10 @@ class IceTable:
         n_out = max(
             1, -(-sum(e["size_bytes"] for e in inputs) // target_file_bytes)
         )
-        rewritten = self._write_data(spark, df, spec, target_files=n_out)
+        rewritten = self._write_data(
+            spark, df, spec, target_files=n_out,
+            sort_cols=meta.get("sort_order", []),
+        )
         for e in rewritten:
             e["seq"] = rewrite_seq
         if sum(e["record_count"] for e in rewritten) != expect_records:
@@ -1219,12 +1250,14 @@ def publish_pipeline_tables(
     creates; later runs OVERWRITE — each run is a snapshot, so yesterday's
     graph stays queryable by snapshot id. Nodes are bucketed by entity
     key and edges by subject so the hot read path (entity lookup,
-    out-edge scan) prunes to one bucket's files."""
+    out-edge scan) prunes to one bucket's files; the write sort order on
+    the same key keeps per-file key ranges tight WITHIN each bucket, so
+    a point lookup prunes past the bucket to ~one file."""
     tables = {}
-    for name, df, spec in (
-        ("nodes", output.nodes, [bucket("node_id", 16)]),
-        ("edges", output.edges, [bucket("src", 16)]),
-        ("triples", output.triples, [bucket("subj", 16)]),
+    for name, df, spec, order in (
+        ("nodes", output.nodes, [bucket("node_id", 16)], ["node_id"]),
+        ("edges", output.edges, [bucket("src", 16)], ["src"]),
+        ("triples", output.triples, [bucket("subj", 16)], ["subj"]),
     ):
         path = os.path.join(root, name)
         if os.path.exists(os.path.join(path, "metadata")):
@@ -1234,6 +1267,7 @@ def publish_pipeline_tables(
             t = IceTable.create(
                 spark, path, df,
                 partition_spec=spec, target_files=target_files,
+                sort_order=order,
             )
         tables[name] = t
     return tables

@@ -631,3 +631,36 @@ def test_delete_on_evolved_column_spares_null_keys(spark, events, tmp_path):
     assert cur.filter(F.col("tenant").isNull()).count() == 600
     assert cur.filter(F.col("tenant") == "t0").count() == 0
     assert cur.count() == 600 + 20
+
+
+# ------------------------------------------------------- write sort order
+
+
+def test_sort_order_makes_pruning_near_exact(spark, events, tmp_path):
+    """A write sort order range-sorts each write, so per-file min/max of
+    the sort column are tight AND disjoint: a point/range filter keeps
+    ~one file without any partition transform. An unsorted table with
+    the same file count keeps everything (overlapping ranges)."""
+    sorted_t = IceTable.create(
+        spark, str(tmp_path / "s"), events,
+        target_files=6, sort_order=["event_id"],
+    )
+    flat_t = IceTable.create(spark, str(tmp_path / "f"), events, target_files=6)
+    filt = [("event_id", ">=", 590)]
+    df_s, rep_s = sorted_t.scan(spark, filters=filt)
+    df_f, rep_f = flat_t.scan(spark, filters=filt)
+    assert df_s.count() == df_f.count() == 10
+    assert rep_s.files_kept == 1 and rep_s.files_total == 6
+    # unsorted files have overlapping ranges -> far weaker pruning
+    assert rep_f.files_kept > rep_s.files_kept
+    # appends and compaction preserve the order property
+    sorted_t.append(spark, _events(spark, n=60).withColumn(
+        "event_id", F.col("event_id") + 10_000), target_files=2)
+    sorted_t.compact(
+        spark, small_file_bytes=32 << 20, target_file_bytes=16_384
+    )
+    df2, rep2 = sorted_t.scan(spark, filters=[("event_id", ">=", 10_050)])
+    assert df2.count() == 10
+    assert rep2.files_kept < rep2.files_total
+    # the order is table metadata, visible in plain JSON
+    assert sorted_t._read_meta()["sort_order"] == ["event_id"]
