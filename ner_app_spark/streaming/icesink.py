@@ -85,6 +85,7 @@ def commit_batch(
     ckpt_key: str,
     batch_id: int,
     partition_spec=None,
+    sort_order=None,
     target_files: int | None = None,
 ) -> str | None:
     """Idempotently commit one micro-batch: create the table on the first
@@ -96,7 +97,8 @@ def commit_batch(
     if not os.path.exists(os.path.join(table_path, "metadata")):
         t = IceTable.create(
             spark, table_path, df,
-            partition_spec=partition_spec, target_files=target_files,
+            partition_spec=partition_spec, sort_order=sort_order,
+            target_files=target_files,
         )
         # re-stamp create's snapshot with the marker: create committed v1,
         # so this is a marker-only metadata v2 (still atomic vs rivals)
@@ -144,7 +146,7 @@ def stream_kg_triples_to_table(
         )
         commit_batch(
             spark, table_path, fused_triples(fused), key, batch_id,
-            partition_spec=[bucket("subj", 16)],
+            partition_spec=[bucket("subj", 16)], sort_order=["subj"],
             target_files=target_files,
         )
 
