@@ -664,3 +664,58 @@ def test_sort_order_makes_pruning_near_exact(spark, events, tmp_path):
     assert rep2.files_kept < rep2.files_total
     # the order is table metadata, visible in plain JSON
     assert sorted_t._read_meta()["sort_order"] == ["event_id"]
+
+
+# ------------------------------------------------- model-based random walk
+
+
+def test_random_op_walk_matches_model(spark, tmp_path):
+    """Seeded random sequence of append / delete / compact / expire /
+    overwrite against an in-memory model: after every step the scan
+    answer must equal the model exactly (ids as sorted multiset). This
+    is the cross-feature interaction net — e.g. delete-after-compact,
+    append-after-expire, upsert chains — that single-feature tests
+    cannot weave."""
+    import random
+
+    rng = random.Random(20260818)
+    t = None
+    model: list[int] = []  # multiset of v values currently visible
+    path = str(tmp_path / "walk")
+    next_v = 0
+
+    def mk(vals):
+        return spark.createDataFrame([(v,) for v in vals], "v long")
+
+    for step in range(14):
+        ops = ["append", "delete", "compact", "expire", "overwrite"]
+        op = ops[rng.randrange(len(ops))] if t is not None else "append"
+        if op == "append":
+            vals = list(range(next_v, next_v + rng.randrange(5, 40)))
+            # occasionally re-add previously deleted values (upsert path)
+            if model or next_v:
+                vals += [rng.randrange(max(next_v, 1)) for _ in range(3)]
+            next_v = max(vals) + 1
+            if t is None:
+                t = IceTable.create(spark, path, mk(vals), target_files=2)
+            else:
+                t.append(spark, mk(vals), target_files=2)
+            model.extend(vals)
+        elif op == "overwrite":
+            vals = list(range(next_v, next_v + 10))
+            next_v = max(vals) + 1
+            t.overwrite(spark, mk(vals), target_files=2)
+            model = list(vals)
+        elif op == "delete":
+            if not model:
+                continue
+            keys = sorted({rng.choice(model) for _ in range(4)})
+            t.delete(spark, mk(keys))
+            model = [v for v in model if v not in set(keys)]
+        elif op == "compact":
+            t.compact(spark, small_file_bytes=32 << 20)
+        elif op == "expire":
+            t.expire_snapshots(keep_last=1, clean_orphans=True,
+                               orphan_grace_sec=0)
+        got = sorted(r.v for r in t.scan(spark)[0].collect())
+        assert got == sorted(model), f"step {step} op {op}"
