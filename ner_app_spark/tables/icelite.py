@@ -54,7 +54,9 @@ Deliberate simplifications vs the real spec, each declared: one JSON
 manifest per snapshot instead of a manifest-list tree (sharding the file
 list across manifest files is a pure fan-out of the same footer job);
 equality deletes only (no positional deletes — those need a writer that
-tracks row offsets); no branch refs. Metadata stays O(files) JSON — at a
+tracks row offsets); tags (named immutable refs, expiry-exempt — see
+:meth:`IceTable.tag`) but no writable branches. Metadata stays O(files)
+JSON — at a
 real deployment's file counts the manifest job's .collect() becomes a
 manifest-file write per task, which is exactly what Iceberg does.
 
@@ -932,11 +934,13 @@ class IceTable:
             meta = self._read_meta()
             snaps = meta["snapshots"]
             retained = snaps[-max(keep_last, 1):]
-            if not any(s["id"] == meta["current_snapshot_id"] for s in retained):
-                retained = retained + [
-                    s for s in snaps if s["id"] == meta["current_snapshot_id"]
-                ]
-            expired = [s for s in snaps if s not in retained]
+            # the current snapshot and every TAGGED snapshot are exempt
+            # from keep-last expiry (tags are the release mechanism)
+            pinned = set(meta.get("refs", {}).values())
+            pinned.add(meta["current_snapshot_id"])
+            keep_ids = {s["id"] for s in retained} | pinned
+            retained = [s for s in snaps if s["id"] in keep_ids]  # log order
+            expired = [s for s in snaps if s["id"] not in keep_ids]
             if not expired and not clean_orphans:
                 return {
                     "expired_snapshots": 0,
@@ -1107,19 +1111,66 @@ class IceTable:
     def current_snapshot_id(self) -> str:
         return self._read_meta()["current_snapshot_id"]
 
+    # ---------------- tags (named refs)
+
+    def tag(self, name: str, snapshot_id: str | None = None) -> str:
+        """Pin a snapshot under a stable name (Iceberg's tag refs — the
+        release mechanism: ``graph-2026-08-18`` stays readable by name
+        and is EXEMPT from keep-last history expiration until the tag is
+        dropped). Defaults to the current snapshot."""
+        for _ in range(5):
+            meta = self._read_meta()
+            sid = snapshot_id or meta["current_snapshot_id"]
+            if not any(s["id"] == sid for s in meta["snapshots"]):
+                raise KeyError(f"unknown snapshot {sid} at {self.path}")
+            new_meta = dict(meta)
+            new_meta["refs"] = {**meta.get("refs", {}), name: sid}
+            try:
+                self._commit(new_meta, expected_version=meta["_version"])
+                return sid
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"tag lost 5 commit races at {self.path}")
+
+    def drop_tag(self, name: str) -> None:
+        for _ in range(5):
+            meta = self._read_meta()
+            refs = dict(meta.get("refs", {}))
+            refs.pop(name, None)
+            new_meta = dict(meta)
+            new_meta["refs"] = refs
+            try:
+                self._commit(new_meta, expected_version=meta["_version"])
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"drop_tag lost 5 commit races at {self.path}")
+
+    def refs(self) -> dict[str, str]:
+        return dict(self._read_meta().get("refs", {}))
+
     def scan(
         self,
         spark: SparkSession,
         filters: list[tuple] | None = None,
         snapshot_id: str | None = None,
         columns: list[str] | None = None,
+        ref: str | None = None,
     ) -> tuple[DataFrame, ScanReport]:
         """Read a snapshot with manifest-level file pruning. ``filters``
         is a list of (col, op, literal) AND-ed together, op in
         {'=','<','<=','>','>=','in'}. Pruning is an optimization only:
         the same filters are re-applied to the rows, so a conservative
-        keep is always correct. Returns (DataFrame, ScanReport)."""
+        keep is always correct. ``ref`` resolves a tag name to its
+        pinned snapshot. Returns (DataFrame, ScanReport)."""
         meta = self._read_meta()
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or ref, not both")
+            try:
+                snapshot_id = meta.get("refs", {})[ref]
+            except KeyError:
+                raise KeyError(f"unknown ref {ref!r} at {self.path}") from None
         sid = snapshot_id or meta["current_snapshot_id"]
         if not any(s["id"] == sid for s in meta["snapshots"]):
             raise KeyError(f"unknown snapshot {sid} at {self.path}")

@@ -719,3 +719,40 @@ def test_random_op_walk_matches_model(spark, tmp_path):
                                orphan_grace_sec=0)
         got = sorted(r.v for r in t.scan(spark)[0].collect())
         assert got == sorted(model), f"step {step} op {op}"
+
+
+# ------------------------------------------------------------ tags (refs)
+
+
+def test_tags_pin_snapshots_through_expiry(spark, events, tmp_path):
+    """A tag names a snapshot (the release mechanism) and exempts it from
+    keep-last expiration until dropped."""
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=2)
+    release = t.current_snapshot_id()
+    t.tag("graph-2026-08-18")
+    for i in range(3):
+        t.append(spark, _events(spark, n=30).withColumn(
+            "event_id", F.col("event_id") + 1000 * (i + 1)), target_files=1)
+    # scan by ref resolves the pinned snapshot
+    by_ref, _ = t.scan(spark, ref="graph-2026-08-18")
+    assert by_ref.count() == 600
+    with pytest.raises(KeyError):
+        t.scan(spark, ref="nope")
+    # keep_last=1 would normally drop the release snapshot — the tag pins it
+    rep = t.expire_snapshots(keep_last=1)
+    assert rep["expired_snapshots"] == 2  # the two middle appends only
+    assert t.scan(spark, ref="graph-2026-08-18")[0].count() == 600
+    assert t.scan(spark)[0].count() == 690
+    # snapshot log stays in chronological order: last entry is current
+    assert t.snapshots()[-1]["id"] == t.current_snapshot_id()
+    assert t.snapshots()[0]["id"] == release
+    # dropping the tag releases the pin: next expire reclaims it
+    t.drop_tag("graph-2026-08-18")
+    rep2 = t.expire_snapshots(keep_last=1)
+    assert rep2["expired_snapshots"] == 1
+    # its data files live on — the current snapshot still references them
+    # (appends accumulate); only the manifest is reclaimed
+    assert rep2["deleted_manifests"] == 1
+    with pytest.raises(KeyError):
+        t.scan(spark, snapshot_id=release)
+    assert t.refs() == {}
