@@ -1090,6 +1090,11 @@ class IceTable:
                 "file_path string, record_count long, size_bytes long, "
                 "seq long, column_stats string",
             )
+        if kind == "refs":
+            rows = sorted(meta.get("refs", {}).items())
+            return spark.createDataFrame(
+                rows, "ref_name string, snapshot_id string"
+            )
         if kind == "deletes":
             entries = self._read_deletes(meta["current_snapshot_id"])
             rows = [

@@ -756,3 +756,13 @@ def test_tags_pin_snapshots_through_expiry(spark, events, tmp_path):
     with pytest.raises(KeyError):
         t.scan(spark, snapshot_id=release)
     assert t.refs() == {}
+
+
+def test_refs_metadata_table(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    assert t.metadata_df(spark, "refs").count() == 0
+    t.tag("r1")
+    rows = t.metadata_df(spark, "refs").collect()
+    assert [(r.ref_name, r.snapshot_id) for r in rows] == [
+        ("r1", t.current_snapshot_id())
+    ]

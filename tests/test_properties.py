@@ -160,3 +160,51 @@ def test_mp4_walker_total_under_corruption(tail, pos, junk):
     base[pos:end] = junk[: end - pos]
     out = _decode_mp4_header(bytes(base))
     assert out is None or isinstance(out, dict)
+
+
+# ---------------------- manifest pruning predicate never drops a match
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(), st.integers(-50, 50)), min_size=1, max_size=12),
+    st.sampled_from(["=", "<", "<=", ">", ">=", "in"]),
+    st.one_of(st.integers(-60, 60), st.lists(st.integers(-60, 60), max_size=4)),
+)
+def test_file_may_match_is_conservative(values, op, lit):
+    """The core safety invariant of manifest stats pruning: if ANY row in
+    a file satisfies (col op literal) under SQL semantics (NULL never
+    matches), the predicate must keep the file. False keeps are allowed
+    (pruning is an optimization); false drops are correctness bugs."""
+    from ner_app_spark.tables.icelite import _enc_stat, _file_may_match
+
+    if op == "in":
+        lit = lit if isinstance(lit, list) else [lit]
+    elif isinstance(lit, list):
+        lit = len(lit)  # arbitrary scalar for the comparison ops
+    nn = [v for v in values if v is not None]
+    entry = {
+        "record_count": len(values),
+        "stats": {
+            "c": {
+                "min": _enc_stat(min(nn) if nn else None),
+                "max": _enc_stat(max(nn) if nn else None),
+                "nulls": len(values) - len(nn),
+            }
+        },
+    }
+
+    def sql_match(v):
+        if v is None:
+            return False
+        if op == "in":
+            return v in lit
+        return {"=": v == lit, "<": v < lit, "<=": v <= lit,
+                ">": v > lit, ">=": v >= lit}[op]
+
+    truth = any(sql_match(v) for v in values)
+    kept = _file_may_match(entry, "c", op, lit)
+    if truth:
+        assert kept, (values, op, lit)
+    # stats on a DIFFERENT column can never justify dropping
+    assert _file_may_match(entry, "other", op, lit)
