@@ -10,8 +10,9 @@ parquet files + JSON metadata:
     snapshot listed in a metadata log; readers pin a snapshot and never
     see a half-committed write; any historical snapshot stays readable;
   * **optimistic-concurrency commits** — a writer claims the next
-    metadata version with an O_EXCL file create (the spec's atomic
-    swap); a losing writer gets :class:`CommitConflict` and retries by
+    metadata version by hard-linking a fully-written temp file into
+    place (the spec's atomic swap; readers can never observe a partial
+    commit); a losing writer gets :class:`CommitConflict` and retries by
     re-merging its manifest against the new current snapshot — data
     files are immutable and uniquely named, so retry is metadata-only;
   * **manifest file stats + scan pruning** — the manifest records per
@@ -97,7 +98,22 @@ class CommitConflict(Exception):
 
 
 def _bucket_py(v, n: int) -> int:
+    """Python replica of the write-path bucket hash. The stringification
+    must match Spark's ``cast(col as string)`` EXACTLY or derived-filter
+    pruning drops files that hold matching rows: booleans cast to
+    'true'/'false' (not Python's 'True'), so they are normalized here;
+    floats/timestamps use Spark-specific formats ('1.0E-7', space
+    separator) and are therefore NOT translated at all — see
+    _bucket_translatable."""
+    if isinstance(v, bool):
+        v = "true" if v else "false"
     return int(md5(str(v).encode("utf-8")).hexdigest()[:8], 16) % n
+
+
+def _bucket_translatable(v) -> bool:
+    """Literal types whose str() provably matches Spark's cast-to-string
+    (pruning on any other type is skipped — conservative keep)."""
+    return isinstance(v, (str, bool)) or type(v) is int
 
 
 def _bucket_col(c: str, n: int):
@@ -350,12 +366,21 @@ def _derived_filters(filters, spec: list[Transform]):
         for tr in spec:
             if tr.col != col or tr.kind == "identity":
                 continue
-            if tr.monotone and op in _MONOTONE_OP:
-                out.append((tr.name, _MONOTONE_OP[op], tr.py(val)))
-            elif tr.kind == "bucket" and op == "=":
-                out.append((tr.name, "=", tr.py(val)))
-            elif tr.kind == "bucket" and op == "in":
-                out.append((tr.name, "in", [tr.py(v) for v in val]))
+            try:
+                if tr.kind == "truncate" and not isinstance(val, str):
+                    continue  # str(v)[:w] != Spark substring semantics
+                if tr.monotone and op in _MONOTONE_OP:
+                    out.append((tr.name, _MONOTONE_OP[op], tr.py(val)))
+                elif tr.kind == "bucket" and op == "=":
+                    if _bucket_translatable(val):
+                        out.append((tr.name, "=", tr.py(val)))
+                elif tr.kind == "bucket" and op == "in":
+                    if all(_bucket_translatable(v) for v in val):
+                        out.append(
+                            (tr.name, "in", [tr.py(v) for v in val])
+                        )
+            except (TypeError, ValueError, AttributeError):
+                continue  # untranslatable literal: keep, never prune
     return out
 
 
@@ -442,15 +467,19 @@ class IceTable:
         meta["_version"] = v
         return meta
 
-    def _read_manifest(self, snapshot_id: str) -> list[dict]:
+    def _read_snap(self, snapshot_id: str) -> tuple[list[dict], list[dict]]:
+        """(data file entries, delete file entries) — one parse of the
+        snapshot manifest for callers that need both."""
         p = os.path.join(self._meta_dir, f"snap-{snapshot_id}.json")
         with open(p) as f:
-            return json.load(f)["files"]
+            body = json.load(f)
+        return body["files"], body.get("deletes", [])
+
+    def _read_manifest(self, snapshot_id: str) -> list[dict]:
+        return self._read_snap(snapshot_id)[0]
 
     def _read_deletes(self, snapshot_id: str) -> list[dict]:
-        p = os.path.join(self._meta_dir, f"snap-{snapshot_id}.json")
-        with open(p) as f:
-            return json.load(f).get("deletes", [])
+        return self._read_snap(snapshot_id)[1]
 
     @staticmethod
     def _next_seq(files: list[dict], deletes: list[dict]) -> int:
@@ -459,7 +488,12 @@ class IceTable:
         ) + 1
 
     def _commit(self, meta: dict, expected_version: int) -> int:
-        """Claim v{expected_version+1} atomically (O_CREAT|O_EXCL). Raises
+        """Claim v{expected_version+1} atomically. The payload is written
+        COMPLETE to a temp file first and the version is claimed with a
+        hard link (atomic, fails if the name exists) — a reader can never
+        observe an empty/partial metadata file, and a crash at any point
+        leaves either no claim or a fully-written one (a stranded
+        ``.commit-*`` temp is swept by expire's orphan cleanup). Raises
         CommitConflict if another writer got there first."""
         new_v = expected_version + 1
         os.makedirs(self._meta_dir, exist_ok=True)
@@ -467,17 +501,21 @@ class IceTable:
             {k: v for k, v in meta.items() if not k.startswith("_")},
             sort_keys=True, indent=1,
         )
+        tmp = os.path.join(self._meta_dir, f".commit-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(
-                self._meta_path(new_v),
-                os.O_WRONLY | os.O_CREAT | os.O_EXCL,
-            )
+            os.link(tmp, self._meta_path(new_v))
         except FileExistsError:
+            with contextlib_suppress(OSError):
+                os.unlink(tmp)
             raise CommitConflict(
                 f"version {new_v} already committed at {self.path}"
             ) from None
-        with os.fdopen(fd, "w") as f:
-            f.write(payload)
+        with contextlib_suppress(OSError):
+            os.unlink(tmp)
         # advisory hint, atomic replace (readers survive a stale hint)
         tmp = os.path.join(self._meta_dir, f".hint-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
@@ -642,8 +680,7 @@ class IceTable:
             sort_cols=meta.get("sort_order", []),
         )
         for _ in range(max_retries):
-            base = self._read_manifest(meta["current_snapshot_id"])
-            base_deletes = self._read_deletes(meta["current_snapshot_id"])
+            base, base_deletes = self._read_snap(meta["current_snapshot_id"])
             seq = self._next_seq(base, base_deletes)
             for e in added:
                 e["seq"] = seq
@@ -681,30 +718,41 @@ class IceTable:
         """Replace the table contents in one snapshot (the KG publish
         pattern: each pipeline run republishes nodes/edges; history
         stays time-travelable). Old data files are retained for time
-        travel — expiring them is a vacuum job, not a commit."""
+        travel — expiring them is a vacuum job, not a commit. Like every
+        other writer, a lost commit race retries metadata-only against
+        the winner (the data files were written once)."""
         meta = self._read_meta()
         spec = [Transform.from_json(d) for d in meta["partition_spec"]]
         added = self._write_data(
             spark, df, spec, target_files,
             sort_cols=meta.get("sort_order", []),
         )
-        cur = self._read_manifest(meta["current_snapshot_id"])
-        seq = self._next_seq(cur, self._read_deletes(meta["current_snapshot_id"]))
-        for e in added:
-            e["seq"] = seq
-        # table contents replaced wholesale: prior equality deletes have
-        # nothing left to apply to, so the new manifest carries none
-        sid = self._write_manifest(added)
-        new_meta = dict(meta)
-        new_meta["schema_json"] = json.loads(df.schema.json())
-        new_meta["current_snapshot_id"] = sid
-        new_meta["snapshots"] = meta["snapshots"] + [
-            self._snap_entry(
-                sid, meta["current_snapshot_id"], "overwrite", added, added
-            )
-        ]
-        self._commit(new_meta, expected_version=meta["_version"])
-        return sid
+        for _ in range(5):
+            meta = self._read_meta()
+            cur, cur_dels = self._read_snap(meta["current_snapshot_id"])
+            seq = self._next_seq(cur, cur_dels)
+            for e in added:
+                e["seq"] = seq
+            # table contents replaced wholesale: prior equality deletes
+            # have nothing left to apply to, so the new manifest carries
+            # none
+            sid = self._write_manifest(added)
+            new_meta = dict(meta)
+            new_meta["schema_json"] = json.loads(df.schema.json())
+            new_meta["current_snapshot_id"] = sid
+            new_meta["snapshots"] = meta["snapshots"] + [
+                self._snap_entry(
+                    sid, meta["current_snapshot_id"], "overwrite", added, added
+                )
+            ]
+            try:
+                self._commit(new_meta, expected_version=meta["_version"])
+                return sid
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"overwrite lost 5 commit races at {self.path}"
+        )
 
     def delete(
         self,
@@ -734,8 +782,7 @@ class IceTable:
         )
         for _ in range(max_retries):
             meta = self._read_meta()
-            base = self._read_manifest(meta["current_snapshot_id"])
-            base_deletes = self._read_deletes(meta["current_snapshot_id"])
+            base, base_deletes = self._read_snap(meta["current_snapshot_id"])
             seq = self._next_seq(base, base_deletes)
             dentries = [
                 {**e, "key_cols": key_cols, "seq": seq} for e in written
@@ -800,8 +847,7 @@ class IceTable:
         before the first commit attempt (to stage commit races).
         """
         meta = self._read_meta()
-        base = self._read_manifest(meta["current_snapshot_id"])
-        base_deletes = self._read_deletes(meta["current_snapshot_id"])
+        base, base_deletes = self._read_snap(meta["current_snapshot_id"])
         inputs = [e for e in base if e["size_bytes"] < small_file_bytes]
         if len(inputs) < min_input_files:
             return None
@@ -946,21 +992,17 @@ class IceTable:
                     "expired_snapshots": 0,
                     "deleted_data_files": 0,
                     "deleted_manifests": 0,
+                    "orphans_deleted": 0,
                 }
             retained_ids = {s["id"] for s in retained}
             keep_files: set[str] = set()
             for sid in retained_ids:
-                keep_files |= {
-                    e["path"]
-                    for e in self._read_manifest(sid) + self._read_deletes(sid)
-                }
+                fs, ds = self._read_snap(sid)
+                keep_files |= {e["path"] for e in fs + ds}
             drop_files: set[str] = set()
             for s in expired:
-                drop_files |= {
-                    e["path"]
-                    for e in self._read_manifest(s["id"])
-                    + self._read_deletes(s["id"])
-                }
+                fs, ds = self._read_snap(s["id"])
+                drop_files |= {e["path"] for e in fs + ds}
             drop_files -= keep_files
             # carry streaming commit markers forward: expired snapshots
             # may hold the (checkpoint, batch-id) stamps a streaming sink
@@ -1000,8 +1042,8 @@ class IceTable:
                     os.remove(p)
             dropped_manifests = 0
             for s in expired:
-                if s["id"] in retained_ids:
-                    continue  # content-addressed: shared with a survivor
+                # (expired ids are disjoint from keep_ids by
+                # construction, so every expired manifest is removable)
                 with contextlib_suppress(OSError):
                     os.remove(
                         os.path.join(self._meta_dir, f"snap-{s['id']}.json")
@@ -1010,17 +1052,40 @@ class IceTable:
             orphans = 0
             if clean_orphans:
                 now = time.time()
+
+                def _old(path: str) -> bool:
+                    try:
+                        return now - os.path.getmtime(path) >= orphan_grace_sec
+                    except OSError:
+                        return False
+
                 for name in sorted(os.listdir(self._data_dir)):
                     p = os.path.join(self._data_dir, name)
                     if p in keep_files or not name.endswith(".parquet"):
                         continue
-                    try:
-                        if now - os.path.getmtime(p) < orphan_grace_sec:
-                            continue
-                        os.remove(p)
-                        orphans += 1
-                    except OSError:
-                        pass
+                    if _old(p):
+                        with contextlib_suppress(OSError):
+                            os.remove(p)
+                            orphans += 1
+                # manifests of commit attempts that lost their race, and
+                # stranded .commit-* temps from crashed commits, are
+                # referenced by nothing in the snapshot log — sweep them
+                # past the same grace window (an IN-FLIGHT writer has
+                # written its manifest before its commit)
+                live_manifests = {f"snap-{s['id']}.json" for s in snaps}
+                for name in sorted(os.listdir(self._meta_dir)):
+                    stale_snap = (
+                        name.startswith("snap-")
+                        and name.endswith(".json")
+                        and name not in live_manifests
+                    )
+                    if not (stale_snap or name.startswith(".commit-")):
+                        continue
+                    mp = os.path.join(self._meta_dir, name)
+                    if _old(mp):
+                        with contextlib_suppress(OSError):
+                            os.remove(mp)
+                            orphans += 1
             return {
                 "expired_snapshots": len(expired),
                 "deleted_data_files": len(drop_files),
@@ -1179,7 +1244,7 @@ class IceTable:
         sid = snapshot_id or meta["current_snapshot_id"]
         if not any(s["id"] == sid for s in meta["snapshots"]):
             raise KeyError(f"unknown snapshot {sid} at {self.path}")
-        entries = self._read_manifest(sid)
+        entries, snap_deletes = self._read_snap(sid)
         filters = list(filters or [])
         spec = [Transform.from_json(d) for d in meta["partition_spec"]]
         prune_filters = filters + _derived_filters(filters, spec)
@@ -1198,6 +1263,9 @@ class IceTable:
         )
         schema = StructType.fromJson(meta["schema_json"])
         out_cols = columns or schema.fieldNames()
+        unknown = [c for c in out_cols if c not in schema.fieldNames()]
+        if unknown:  # same error whether pruning kept files or not
+            raise KeyError(f"unknown columns {unknown} at {self.path}")
         if not kept:
             empty = spark.createDataFrame([], schema).select(*out_cols)
             return empty, report
@@ -1208,16 +1276,17 @@ class IceTable:
         df = _apply_equality_deletes(
             spark, df,
             {e["path"]: e.get("seq", 0) for e in kept},
-            self._read_deletes(sid),
+            snap_deletes,
         )
-        # project to the snapshot schema: hidden _p_* columns drop out,
-        # evolved-in columns missing from old files read as null
+        # project to the snapshot schema in the REQUESTED column order:
+        # hidden _p_* columns drop out, evolved-in columns missing from
+        # old files read as null
+        fields = {f.name: f for f in schema.fields}
         proj = [
-            F.col(f.name).cast(f.dataType)
-            if f.name in df.columns
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in schema.fields
-            if f.name in out_cols
+            F.col(c).cast(fields[c].dataType)
+            if c in df.columns
+            else F.lit(None).cast(fields[c].dataType).alias(c)
+            for c in out_cols
         ]
         df = df.select(*proj)
         if filters:
@@ -1227,10 +1296,14 @@ class IceTable:
 
 def _align_for_append(df: DataFrame, schema: StructType):
     """Null-fill table columns the append lacks; keep genuinely new
-    columns (schema widens). Returns (aligned_df, new_schema)."""
+    columns (schema widens). Existing columns are CAST to the table's
+    type — without the cast, an append with a drifted dtype (e.g. string
+    ids into a long column) would commit fine and then poison every
+    subsequent mergeSchema read of the table. Returns (aligned_df,
+    new_schema)."""
     have = set(df.columns)
     cols = [
-        F.col(f.name) if f.name in have
+        F.col(f.name).cast(f.dataType) if f.name in have
         else F.lit(None).cast(f.dataType).alias(f.name)
         for f in schema.fields
     ]
@@ -1263,15 +1336,36 @@ def _apply_equality_deletes(
         return df
     from collections import defaultdict
 
+    # join on the data file's BASENAME: names are globally unique within
+    # a table ({uuid-token}-{i}.parquet), and basenames sidestep
+    # input_file_name()'s URI form (scheme prefix, percent-encoding of
+    # special characters in ancestor directories). A row whose file is
+    # somehow absent from the manifest map must FAIL the scan, never
+    # default to a seq — defaulting low would over-apply deletes and
+    # silently break the documented upsert semantics.
     pmap = spark.createDataFrame(
-        [(p, s) for p, s in path_seq.items()], "__path string, __fseq long"
+        [(os.path.basename(p), s) for p, s in path_seq.items()],
+        "__fname string, __fseq long",
     )
     df = (
         df.withColumn(
-            "__path", F.regexp_replace(F.input_file_name(), "^file://", "")
+            "__fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
         )
-        .join(F.broadcast(pmap), "__path", "left")
-        .withColumn("__fseq", F.coalesce("__fseq", F.lit(0)))
+        .join(F.broadcast(pmap), "__fname", "left")
+        # the raise_error lives INSIDE the column the filter consumes, so
+        # column pruning cannot elide the check
+        .withColumn(
+            "__fseq",
+            F.when(
+                F.col("__fseq").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("icelite: data file not in manifest map: "),
+                        F.col("__fname"),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("__fseq")),
+        )
     )
     groups: dict[tuple, list[dict]] = defaultdict(list)
     for d in deletes:
@@ -1291,7 +1385,7 @@ def _apply_equality_deletes(
             .where(F.col("__dseq").isNull() | (F.col("__dseq") < F.col("__fseq")))
             .drop("__dseq")
         )
-    return df.drop("__path", "__fseq")
+    return df.drop("__fname", "__fseq")
 
 
 # ------------------------------------------------- KG pipeline publishing

@@ -766,3 +766,108 @@ def test_refs_metadata_table(spark, events, tmp_path):
     assert [(r.ref_name, r.snapshot_id) for r in rows] == [
         ("r1", t.current_snapshot_id())
     ]
+
+
+# ------------------------------------------------ review-hardening pins
+
+
+def test_bucket_pruning_correct_for_bool_and_float_literals(spark, tmp_path):
+    """Spark's cast-to-string differs from Python str() for booleans
+    ('true' vs 'True') and floats ('1.0E-7'): bool literals are
+    normalized, float literals are not translated at all — either way
+    the scan answer must be exact (pruning stays conservative)."""
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0, float(i) / 1e7) for i in range(100)],
+        "id long, flag boolean, score double",
+    )
+    t = IceTable.create(
+        spark, str(tmp_path / "b"), df,
+        partition_spec=[bucket("flag", 4)], target_files=4,
+    )
+    got, _ = t.scan(spark, filters=[("flag", "=", True)])
+    assert got.count() == 50
+    t2 = IceTable.create(
+        spark, str(tmp_path / "f"), df,
+        partition_spec=[bucket("score", 4)], target_files=4,
+    )
+    got2, rep2 = t2.scan(spark, filters=[("score", "=", 1e-07)])
+    # id 1 only: the float literal is excluded from BUCKET translation
+    # (Spark's '1.0E-7' string vs Python's '1e-07' would mis-bucket);
+    # any pruning here comes from the source column's own min/max, which
+    # compares numerically and stays exact
+    assert got2.count() == 1
+    assert rep2.records_kept_bound >= 1
+
+
+def test_append_casts_drifted_dtypes_to_table_schema(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    drifted = _events(spark, n=5).withColumn(
+        "event_id", (F.col("event_id") + 900).cast("string")
+    )
+    t.append(spark, drifted, target_files=1)
+    cur, _ = t.scan(spark)  # would throw on mergeSchema without the cast
+    assert cur.count() == 605
+    assert dict(cur.dtypes)["event_id"] == "bigint"
+    assert cur.filter(F.col("event_id") == 904).count() == 1
+
+
+def test_scan_columns_validated_and_ordered(spark, events, tmp_path):
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), events,
+        partition_spec=[identity("kind")], target_files=4,
+    )
+    got, _ = t.scan(spark, columns=["amount", "event_id"])
+    assert got.columns == ["amount", "event_id"]  # requested order
+    with pytest.raises(KeyError):
+        t.scan(spark, columns=["event_id", "nope"])
+    # same error on the zero-files-kept path
+    with pytest.raises(KeyError):
+        t.scan(spark, columns=["nope"], filters=[("kind", "=", "zzz")])
+
+
+def test_overwrite_retries_commit_race(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    meta = t._read_meta()
+    t._commit(dict(meta), expected_version=meta["_version"])  # rival claims
+    t.overwrite(spark, _events(spark, n=7), target_files=1)  # must not raise
+    assert t.scan(spark)[0].count() == 7
+
+
+def test_expire_sweeps_stranded_commit_temps_and_race_manifests(
+    spark, events, tmp_path
+):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    # a crashed commit's temp and a lost race's manifest
+    stranded = os.path.join(t._meta_dir, ".commit-deadbeef")
+    open(stranded, "w").write("{}")
+    orphan_manifest = t._write_manifest(
+        [], []
+    )  # content-addressed snap file never referenced by any commit
+    os.utime(stranded, (0, 0))
+    os.utime(
+        os.path.join(t._meta_dir, f"snap-{orphan_manifest}.json"), (0, 0)
+    )
+    rep = t.expire_snapshots(keep_last=5, clean_orphans=True,
+                             orphan_grace_sec=3600)
+    assert rep["orphans_deleted"] == 2
+    assert not os.path.exists(stranded)
+    assert not os.path.exists(
+        os.path.join(t._meta_dir, f"snap-{orphan_manifest}.json")
+    )
+    # no-op expire reports a consistent shape
+    rep2 = t.expire_snapshots(keep_last=5)
+    assert rep2 == {"expired_snapshots": 0, "deleted_data_files": 0,
+                    "deleted_manifests": 0, "orphans_deleted": 0}
+    # the table itself is untouched
+    assert t.scan(spark)[0].count() == 600
+
+
+def test_reader_never_sees_partial_commit(spark, events, tmp_path):
+    """The commit claim is a hard link of a fully-written temp: a reader
+    polling current_version/_read_meta between any two steps sees either
+    the old version or complete JSON — simulate the old failure by
+    checking the claimed file is valid JSON the instant it exists."""
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    t.append(spark, _events(spark, n=5), target_files=1)
+    for v in range(1, t.current_version() + 1):
+        json.load(open(t._meta_path(v)))  # every version parses complete
