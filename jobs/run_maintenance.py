@@ -64,27 +64,37 @@ def main() -> int:
     spark = get_session(app_name="kg-maintenance")
     t0 = time.time()
     report = {}
+    failed = 0
     for path in roots:
+        # one table's failure (e.g. lost commit races against a live
+        # streaming sink) must not starve the rest of the fleet of
+        # maintenance — isolate, report, continue
         t = IceTable(path)
-        sid = t.compact(
-            spark,
-            small_file_bytes=int(args.small_file_mb * (1 << 20)),
-            target_file_bytes=int(args.target_file_mb * (1 << 20)),
-        )
-        row = {"compacted": sid is not None, "snapshot": sid}
-        if not args.no_expire:
-            row["expire"] = t.expire_snapshots(
-                keep_last=args.keep_last,
-                clean_orphans=args.clean_orphans,
-                orphan_grace_sec=args.orphan_grace_sec,
+        row = {}
+        try:
+            sid = t.compact(
+                spark,
+                small_file_bytes=int(args.small_file_mb * (1 << 20)),
+                target_file_bytes=int(args.target_file_mb * (1 << 20)),
             )
-        row["snapshots_retained"] = len(t.snapshots())
+            row["compacted"] = sid is not None
+            row["snapshot"] = sid
+            if not args.no_expire:
+                row["expire"] = t.expire_snapshots(
+                    keep_last=args.keep_last,
+                    clean_orphans=args.clean_orphans,
+                    orphan_grace_sec=args.orphan_grace_sec,
+                )
+            row["snapshots_retained"] = len(t.snapshots())
+        except Exception as exc:  # noqa: BLE001 - reported, not hidden
+            row["error"] = f"{type(exc).__name__}: {exc}"
+            failed += 1
         report[os.path.basename(path)] = row
     print(json.dumps(
         {"tables": report, "wall_sec": round(time.time() - t0, 2)},
         sort_keys=True,
     ))
-    return 0
+    return 1 if failed == len(roots) else 0
 
 
 if __name__ == "__main__":

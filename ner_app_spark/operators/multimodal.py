@@ -164,10 +164,9 @@ def _decode_mp4_header(payload: bytes) -> dict | None:
         return None
     found: dict = {"w": None, "h": None, "frames": 0, "bad": False}
 
-    def walk(start: int, end: int, depth: int = 0) -> None:
-        if depth > 16:  # spec trees are ~6 deep; adversarial nesting
-            found["bad"] = True  # must not exhaust the Python stack
-            return
+    def boxes(start: int, end: int):
+        """Yield (btype, body_start, box_end); sets the bad flag and
+        stops on malformed sizes (largesize and to-end handled)."""
         p = start
         while p + 8 <= end and not found["bad"]:
             size = int.from_bytes(payload[p : p + 4], "big")
@@ -184,23 +183,50 @@ def _decode_mp4_header(payload: bytes) -> dict | None:
             if size < body - p or p + size > end:
                 found["bad"] = True
                 return
+            yield btype, body, p + size
+            p += size
+
+    def trak_handler(start: int, end: int, depth: int) -> bytes:
+        """The trak's mdia/hdlr handler_type (b'vide' for video)."""
+        if depth > 16:
+            found["bad"] = True
+            return b""
+        for btype, body, box_end in boxes(start, end):
+            if btype == b"hdlr" and body + 12 <= box_end:
+                return payload[body + 8 : body + 12]
             if btype in _MP4_CONTAINERS:
-                walk(body, p + size, depth + 1)
-            elif btype == b"tkhd" and body + 4 <= p + size:
+                h = trak_handler(body, box_end, depth + 1)
+                if h:
+                    return h
+        return b""
+
+    def walk(start: int, end: int, depth: int, in_video: bool) -> None:
+        if depth > 16:  # spec trees are ~6 deep; adversarial nesting
+            found["bad"] = True  # must not exhaust the Python stack
+            return
+        for btype, body, box_end in boxes(start, end):
+            if btype == b"trak":
+                # gate tkhd/stsz on THIS trak's handler: an audio
+                # track's stsz holds sample counts in the millions and
+                # must not contaminate the video frame count
+                vid = trak_handler(body, box_end, depth + 1) == b"vide"
+                walk(body, box_end, depth + 1, vid)
+            elif btype in _MP4_CONTAINERS:
+                walk(body, box_end, depth + 1, in_video)
+            elif in_video and btype == b"tkhd" and body + 4 <= box_end:
                 ver = payload[body]
                 off = body + 4 + (84 if ver == 1 else 72)
-                if off + 8 <= p + size:
+                if off + 8 <= box_end:
                     w = int.from_bytes(payload[off : off + 2], "big")
                     h = int.from_bytes(payload[off + 4 : off + 6], "big")
                     if w and h and found["w"] is None:
                         found["w"], found["h"] = w, h
-            elif btype == b"stsz" and body + 12 <= p + size:
+            elif in_video and btype == b"stsz" and body + 12 <= box_end:
                 found["frames"] += int.from_bytes(
                     payload[body + 8 : body + 12], "big"
                 )
-            p += size
 
-    walk(0, len(payload))
+    walk(0, len(payload), 0, in_video=False)
     if found["bad"] or (found["w"] is None and found["frames"] == 0):
         return None
     return {
@@ -210,11 +236,21 @@ def _decode_mp4_header(payload: bytes) -> dict | None:
     }
 
 
+_BMP_DIB_SIZES = {40, 52, 56, 108, 124}  # INFOHEADER..V5: same dim layout
+
+
 def _decode_bmp_header(payload: bytes) -> dict | None:
     """Real (dependency-free) BMP decode of the BITMAPINFOHEADER:
-    'BM' magic, biWidth / biHeight as LE int32 at offsets 18 / 22
+    'BM' magic AND a known DIB header size at offset 14 — the 2-byte
+    magic alone matches 1/65536 of arbitrary binaries (and the 12-byte
+    COREHEADER layout, whose dims are 16-bit at different offsets),
+    which would route opaque payloads off the stub lane into garbage
+    dimensions. biWidth / biHeight are LE int32 at offsets 18 / 22
     (height may be negative for top-down DIBs — absolute value)."""
     if len(payload) < 26 or payload[0:2] != b"BM":
+        return None
+    (dib_size,) = struct.unpack("<I", payload[14:18])
+    if dib_size not in _BMP_DIB_SIZES:
         return None
     w, h = struct.unpack("<ii", payload[18:26])
     return {"width": w, "height": abs(h), "n_frames": 1}
@@ -223,10 +259,13 @@ def _decode_bmp_header(payload: bytes) -> dict | None:
 def _md5_features(payload: bytes) -> list[float]:
     """Deterministic FEATURE_DIM-float embedding derived from md5(payload)
     — the feature-extraction model hook (a real encoder ships here in
-    production; declared stub)."""
+    production; declared stub). The payload is hashed ONCE; each lane
+    re-hashes the 16-byte digest, not the payload — multi-MB media would
+    otherwise be hashed (and copied) FEATURE_DIM times per row."""
+    base = hashlib.md5(payload).digest()
     feats = []
     for i in range(FEATURE_DIM):
-        hh = hashlib.md5(payload + bytes([i])).digest()
+        hh = hashlib.md5(base + bytes([i])).digest()
         (u,) = struct.unpack("<I", hh[:4])
         feats.append((u / 2**32) * 2.0 - 1.0)
     return feats
@@ -302,14 +341,16 @@ def decode_features(
 
 def frame_sample(media: DataFrame, every_n: int = 8) -> DataFrame:
     """video -> (media_id, frame_idx): deterministic frame sampling plan
-    (indices only; frame decode itself is the stubbed codec step)."""
+    (indices only; frame decode itself is the stubbed codec step). A
+    frame-less payload (n_frames null or 0 — e.g. an empty container)
+    yields no rows instead of crashing the query on an illegal
+    sequence(0, -1) bound."""
     feats = decode_features(media.filter(F.col("kind") == "video"))
-    return feats.select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
-        ).alias("frame_idx"),
-    )
+    idx = F.when(
+        F.col("n_frames") >= 1,
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)),
+    ).otherwise(F.array().cast("array<int>"))
+    return feats.select("media_id", F.explode(idx).alias("frame_idx"))
 
 
 def synth_png(width: int, height: int, trailer: bytes = b"") -> bytes:

@@ -668,8 +668,9 @@ def _multimodal_sql(n: int = 64) -> str:
     vals = []
     for mid, kind, payload, _mime in synth_media_rows(n):
         mh = hashlib.md5(payload).hexdigest()
+        digest = hashlib.md5(payload).digest()
         lanes = ", ".join(
-            f"'{hashlib.md5(payload + bytes([i])).hexdigest()[:8]}'"
+            f"'{hashlib.md5(digest + bytes([i])).hexdigest()[:8]}'"
             for i in range(FEATURE_DIM)
         )
         vals.append(f"({mid}, '{kind}', '{payload.hex()}', '{mh}', {lanes})")
@@ -688,7 +689,8 @@ flags AS (
       AND substr(hp, 25, 8) = '49484452' AS is_png,
     substr(hp, 1, 8) = '52494646' AND substr(hp, 17, 8) = '57415645' AS is_wav,
     substr(hp, 1, 12) IN ('474946383761', '474946383961') AS is_gif,
-    substr(hp, 1, 4) = '424d' AS is_bmp,
+    substr(hp, 1, 4) = '424d'
+      AND {_hex_le('hp', 15, 4)} IN (40, 52, 56, 108, 124) AS is_bmp,
     substr(hp, 9, 8) = '66747970' AS is_mp4,
     length(hp) // 2 AS plen
   FROM media),

@@ -1001,7 +1001,12 @@ def q_multimodal_features(spark, sf_dir):
     # fixture's canonical box layout: tkhd 16.16 width/height integer
     # parts at bytes 225/229, stsz sample_count at 306)
     is_gif = F.hex(F.substring(pay, 1, 6)).isin("474946383761", "474946383961")
-    is_bmp = F.hex(F.substring(pay, 1, 2)) == "424D"
+    is_bmp = (F.hex(F.substring(pay, 1, 2)) == "424D") & (
+        _bin_byte(pay, 15)
+        + _bin_byte(pay, 16) * 256
+        + _bin_byte(pay, 17) * 65536
+        + _bin_byte(pay, 18) * 16777216
+    ).isin(40, 52, 56, 108, 124)
     is_mp4 = F.hex(F.substring(pay, 5, 4)) == "66747970"
     be32 = lambda pos: F.conv(F.hex(F.substring(pay, pos, 4)), 16, 10).cast("long")
     be16 = lambda pos: F.conv(F.hex(F.substring(pay, pos, 2)), 16, 10).cast("long")
@@ -1040,7 +1045,9 @@ def q_multimodal_features(spark, sf_dir):
             )
         )
     )
-    hh0 = F.md5(F.concat(pay, F.lit(bytes([0]))))
+    # feature lanes re-hash the 16-byte payload DIGEST (one payload
+    # hash total — multimodal._md5_features), not the payload itself
+    hh0 = F.md5(F.concat(F.unhex(h), F.lit(bytes([0]))))
     u0 = sum(_md5_byte(hh0, b) * (256 ** b) for b in range(4))
     exp_f0 = u0 / F.lit(float(2 ** 32)) * 2.0 - 1.0
     row_bad = (

@@ -36,16 +36,25 @@ from ..tables.icelite import IceTable, bucket
 
 
 def checkpoint_key(checkpoint_dir: str) -> str:
-    return md5(checkpoint_dir.encode()).hexdigest()[:12]
+    """Stable key for a checkpoint LOCATION: local paths are resolved to
+    an absolute form and trailing slashes dropped, so equivalent
+    spellings (./ckpt vs /data/ckpt vs /data/ckpt/) hash identically —
+    Spark normalizes checkpointLocation for its offset log, and a key
+    that did not would silently disable replay dedup across relaunches
+    with a different spelling."""
+    import os
+
+    loc = checkpoint_dir.rstrip("/")
+    if "://" not in loc:
+        loc = os.path.abspath(loc)
+    return md5(loc.encode()).hexdigest()[:12]
 
 
 def committed_batch_ids(table_path: str, ckpt_key: str) -> set[int]:
     """Batch ids with a live marker for this checkpoint (snapshot-summary
     stamps only — see last_committed_batch for the replay test, which
     also honors markers carried forward by history expiration)."""
-    import os
-
-    if not os.path.exists(os.path.join(table_path, "metadata")):
+    if not IceTable.exists(table_path):
         return set()
     out = set()
     for s in IceTable(table_path).snapshots():
@@ -62,9 +71,7 @@ def last_committed_batch(table_path: str, ckpt_key: str) -> int | None:
     dict that expire_snapshots folds expired markers into. Batch ids are
     monotone per checkpoint (Structured Streaming's contract), so max is
     exactly the replay frontier."""
-    import os
-
-    if not os.path.exists(os.path.join(table_path, "metadata")):
+    if not IceTable.exists(table_path):
         return None
     last = None
     for s in IceTable(table_path).snapshots():
@@ -90,25 +97,20 @@ def commit_batch(
 ) -> str | None:
     """Idempotently commit one micro-batch: create the table on the first
     ever batch, append with the commit marker otherwise, skip (returning
-    None) if this (checkpoint, batch) is already in the snapshot log."""
-    import os
-
+    None) if this (checkpoint, batch) is already in the snapshot log.
+    The marker rides the SAME atomic metadata commit as the data on both
+    paths (create's initial snapshot carries it via summary_extra), so
+    there is no window where the data is in but the marker is not; a
+    crashed create (directory present, v1 never committed) is detected
+    by IceTable.exists and simply re-created — its half-written files
+    are orphans for the maintenance sweep."""
     marker = {"streaming_commit": f"{ckpt_key}:{batch_id}"}
-    if not os.path.exists(os.path.join(table_path, "metadata")):
+    if not IceTable.exists(table_path):
         t = IceTable.create(
             spark, table_path, df,
             partition_spec=partition_spec, sort_order=sort_order,
-            target_files=target_files,
+            target_files=target_files, summary_extra=marker,
         )
-        # re-stamp create's snapshot with the marker: create committed v1,
-        # so this is a marker-only metadata v2 (still atomic vs rivals)
-        meta = t._read_meta()
-        snaps = list(meta["snapshots"])
-        snaps[-1] = dict(snaps[-1])
-        snaps[-1]["summary"] = {**snaps[-1]["summary"], **marker}
-        new_meta = dict(meta)
-        new_meta["snapshots"] = snaps
-        t._commit(new_meta, expected_version=meta["_version"])
         return t.current_snapshot_id()
     last = last_committed_batch(table_path, ckpt_key)
     if last is not None and batch_id <= last:

@@ -441,6 +441,16 @@ class IceTable:
     def _meta_path(self, version: int) -> str:
         return os.path.join(self._meta_dir, f"v{version}.metadata.json")
 
+    @staticmethod
+    def exists(path: str) -> bool:
+        """True iff a COMMITTED table lives at ``path`` (v1 metadata
+        present). A bare ``metadata/`` directory left by a crashed
+        create is not a table — callers that branched on the directory
+        would wedge forever on FileNotFoundError."""
+        return os.path.exists(
+            os.path.join(path, "metadata", "v1.metadata.json")
+        )
+
     def current_version(self) -> int:
         """The committed version: the advisory hint, verified and then
         rolled forward past any newer committed metadata files (the hint
@@ -551,6 +561,7 @@ class IceTable:
         partition_spec: list[Transform] | None = None,
         target_files: int | None = None,
         sort_order: list[str] | None = None,
+        summary_extra: dict | None = None,
     ) -> "IceTable":
         t = IceTable(path)
         os.makedirs(t._meta_dir, exist_ok=True)
@@ -562,15 +573,16 @@ class IceTable:
         for e in entries:
             e["seq"] = 0
         sid = t._write_manifest(entries)
+        entry = t._snap_entry(sid, None, "create", entries, entries)
+        if summary_extra:  # e.g. a streaming sink's commit marker — must
+            entry["summary"].update(summary_extra)  # ride the ONE commit
         meta = {
             "format": _FMT,
             "schema_json": json.loads(df.schema.json()),
             "partition_spec": [tr.to_json() for tr in spec],
             "sort_order": list(sort_order or []),
             "current_snapshot_id": sid,
-            "snapshots": [
-                t._snap_entry(sid, None, "create", entries, entries)
-            ],
+            "snapshots": [entry],
         }
         t._commit(meta, expected_version=0)
         return t

@@ -81,7 +81,7 @@ def test_stub_lane_unchanged_for_opaque_payloads():
     h = hashlib.md5(payload).digest()
     assert d["width"] == 64 + h[0] % 192 and d["height"] == 64 + h[1] % 192
     assert d["n_frames"] == 1
-    hh = hashlib.md5(payload + bytes([0])).digest()
+    hh = hashlib.md5(hashlib.md5(payload).digest() + bytes([0])).digest()
     (u,) = struct.unpack("<I", hh[:4])
     assert abs(d["feature"][0] - ((u / 2**32) * 2.0 - 1.0)) < 1e-12
 
@@ -150,3 +150,59 @@ def test_mp4_header_parse():
     bad[16:20] = struct.pack(">I", 10 ** 6)
     assert _decode_mp4_header(bytes(bad)) is None
     assert _decode_mp4_header(b"\x00\x00\x00\x08freeisom") is None
+
+
+def test_mp4_audio_track_does_not_pollute_frame_count():
+    """Review finding: a real MP4 carries an audio track whose stsz holds
+    MILLIONS of sample counts; only 'vide'-handler tracks may contribute
+    to n_frames (and tkhd dims)."""
+    from ner_app_spark.operators.multimodal import (
+        _decode_mp4_header,
+        synth_mp4,
+    )
+
+    base = synth_mp4(320, 180, 24)
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    # an audio trak: hdlr 'soun' + stsz with 1e6 samples
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12 + b"\x00")
+    stsz = box(b"stsz", b"\x00" * 4 + struct.pack(">II", 1, 1_000_000))
+    audio = box(b"trak", hdlr + box(b"mdia", box(b"minf", box(b"stbl", stsz))))
+    # splice the audio trak into moov (grow moov + file sizes)
+    moov_start = 16
+    moov_size = struct.unpack(">I", base[moov_start:moov_start + 4])[0]
+    p = bytearray(base)
+    p[moov_start:moov_start + 4] = struct.pack(">I", moov_size + len(audio))
+    p = bytes(p[: moov_start + moov_size]) + audio
+    d = _decode_mp4_header(p)
+    assert d == {"width": 320, "height": 180, "n_frames": 24}
+
+
+def test_bmp_requires_known_dib_header():
+    """'BM' + junk must fall through to the stub lane, not parse garbage
+    dimensions at INFOHEADER offsets."""
+    from ner_app_spark.operators.multimodal import _decode_bmp_header
+
+    junk = b"BM" + bytes(range(12, 60))
+    assert _decode_bmp_header(junk) is None
+    good = synth_bmp(10, 20)
+    assert _decode_bmp_header(good) == {"width": 10, "height": 20, "n_frames": 1}
+
+
+def test_frame_sample_survives_zero_frame_payload(spark):
+    """A kind='video' row whose payload decodes to 0 frames (empty WAV
+    data chunk routed by payload bytes, not kind) must yield no sampled
+    frames instead of crashing the query on sequence(0, -1)."""
+    from ner_app_spark.operators.multimodal import frame_sample, synth_wav
+    from ner_app_spark.session import local_df
+
+    media = local_df(
+        spark,
+        [(0, "video", synth_wav(0), "audio/wav"),
+         (1, "video", synth_gif(8, 8, n_frames=3), "image/gif")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    rows = frame_sample(media, every_n=1).collect()
+    assert sorted(r.media_id for r in rows) == [1, 1, 1]

@@ -194,10 +194,13 @@ def test_run_takedown_via_spark_submit(pyfiles_zip, tmp_path, spark):
     got = _submit(
         pyfiles_zip, "run_takedown.py",
         "--table", table, "--keys", keys_path, "--expire-history", "1",
+        "--report-rows",
     )
     assert got["key_cols"] == ["url"]
+    assert got["keys_deleted"] == 2
     assert got["rows_before"] == N_TRIPLES
     assert got["rows_removed"] == n_victim_rows > 0
+    assert got["dropped_tags"] == []
     assert got["expire"]["expired_snapshots"] >= 1
     after, _ = t.scan(spark)
     assert after.count() == N_TRIPLES - n_victim_rows
