@@ -40,7 +40,14 @@ def main() -> int:
     ap.add_argument("--parts", type=int, default=8)
     ap.add_argument("--lang", default="ru")
     ap.add_argument("--max-files-per-trigger", type=int, default=1)
-    ap.add_argument("--available-now", action="store_true", default=True)
+    ap.add_argument("--available-now", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="--available-now drains present files and exits "
+                    "(default); --no-available-now watches the landing "
+                    "zone continuously (use --run-for-sec to bound)")
+    ap.add_argument("--run-for-sec", type=float, default=0,
+                    help="with --no-available-now: stop the query after "
+                    "this many seconds (0 = run until killed)")
     args = ap.parse_args()
     if bool(args.sink) == bool(args.table):
         ap.error("exactly one of --sink / --table is required")
@@ -84,8 +91,16 @@ def main() -> int:
         lang=args.lang,
         num_partitions=args.parts,
         max_files_per_trigger=args.max_files_per_trigger,
+        available_now=args.available_now,
     )
-    q.awaitTermination()
+    if args.available_now:
+        q.awaitTermination()
+    elif args.run_for_sec > 0:
+        q.awaitTermination(args.run_for_sec)
+        q.stop()
+        q.awaitTermination()
+    else:
+        q.awaitTermination()
     n = result_fn(spark, dest).count()
     if not args.input:
         import shutil

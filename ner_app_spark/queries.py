@@ -766,7 +766,8 @@ def q_streaming_window_counts(spark, sf_dir):
         n = len(stage_chunks(ev, inp, "ts", 4))
         sent = local_df(
             spark,
-            [(sentinel_ts(max_ts, 35), "__sentinel__")],
+            [(sentinel_ts(max_ts, delay="35 days", window="1 day"),
+              "__sentinel__")],
             "ts timestamp_ntz, event_type string",
         )
         add_chunk(sent, inp, n)

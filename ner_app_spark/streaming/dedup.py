@@ -42,17 +42,32 @@ def streaming_first_seen(
     order_col: str = "doc_id",
     payload_cols: tuple[str, ...] = (),
     ttl_ms: int | None = None,
+    ts_col: str = "ts",
 ):
     """Start (and return) the streaming query. ``stream`` must already
     carry ``hash_col`` (e.g. ``F.md5("text")``) and a LONG ``order_col``
     unique per row. With ``ttl_ms`` set, the caller must have applied
-    ``withWatermark`` upstream; state for a hash expires ``ttl_ms`` past
-    the watermark at its last update."""
+    ``withWatermark`` upstream on ``ts_col``; state for a hash expires
+    ``ttl_ms`` past max(current watermark, the hash's own latest event
+    time this batch). The event-time base matters in the FIRST
+    micro-batch of a fresh query, where the pre-batch watermark is 0 —
+    arming against the watermark alone would stamp a ~1970 timeout and
+    evict every batch-0 key on the first real watermark advance,
+    regardless of how large ``ttl_ms`` is."""
+    if ttl_ms is not None and ttl_ms <= 0:
+        raise ValueError(
+            "ttl_ms must be positive (0 would arm a timeout at the "
+            "watermark itself, which the state store rejects)"
+        )
+    if ttl_ms is not None and ts_col not in stream.columns:
+        raise ValueError(
+            f"ttl_ms requires the watermark column {ts_col!r} in the stream"
+        )
     out_cols = [hash_col, order_col, *payload_cols]
     out_schema = StructType(
         [stream.schema[c] for c in out_cols]
     )
-    state_schema = "best long"
+    state_schema = "best long, last_ms long"
     timeout = (
         GroupStateTimeout.EventTimeTimeout
         if ttl_ms is not None
@@ -60,12 +75,12 @@ def streaming_first_seen(
     )
 
     def fn(key, pdfs, state):
-        import pandas as pd
-
         if state.hasTimedOut:
             state.remove()
             return
         best_row = None
+        min_ts_ms = None
+        max_ts_ms = 0
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
@@ -76,13 +91,36 @@ def streaming_first_seen(
                 or row[order_col].iloc[0] < best_row[order_col].iloc[0]
             ):
                 best_row = row
+            if ttl_ms is not None:
+                lo, hi = pdf[ts_col].min(), pdf[ts_col].max()
+                if lo is not None:
+                    m = int(lo.value // 1_000_000)
+                    min_ts_ms = m if min_ts_ms is None else min(min_ts_ms, m)
+                    max_ts_ms = max(max_ts_ms, int(hi.value // 1_000_000))
         if best_row is not None:
+            # the horizon is enforced HERE, in event time, not only via
+            # the timeout: Spark never fires a timeout for a key that has
+            # data in the same micro-batch, so a duplicate arriving
+            # ttl_ms past the last sighting must itself reset the state
+            # (it is by contract a fresh first-seen)
+            stale = (
+                ttl_ms is not None
+                and state.exists
+                and min_ts_ms is not None
+                and min_ts_ms > state.get[1] + ttl_ms
+            )
             v = int(best_row[order_col].iloc[0])
-            if not state.exists or v < state.get[0]:
-                state.update((v,))
+            if stale or not state.exists or v < state.get[0]:
+                prev_last = state.get[1] if state.exists and not stale else 0
+                state.update((v, max(prev_last, max_ts_ms)))
                 yield best_row[out_cols].reset_index(drop=True)
+            elif ttl_ms is not None:
+                state.update(
+                    (state.get[0], max(state.get[1], max_ts_ms))
+                )
         if ttl_ms is not None and state.exists:
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
+            base = max(state.getCurrentWatermarkMs(), max_ts_ms)
+            state.setTimeoutTimestamp(base + ttl_ms)
 
     deduped = stream.groupBy(hash_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout

@@ -130,6 +130,8 @@ def stream_kg_triples_to_table(
     num_partitions: int = 8,
     max_files_per_trigger: int = 1,
     target_files: int | None = None,
+    available_now: bool = True,
+    processing_interval: str = "30 seconds",
 ):
     """The incremental KG pipeline landing in a snapshot table: same
     fused extract stage as pipeline.stream_kg_triples, but the sink is an
@@ -152,12 +154,16 @@ def stream_kg_triples_to_table(
             target_files=target_files,
         )
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    writer = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime=processing_interval)
+    )
+    return writer.start()
 
 
 def table_triples_result(spark: SparkSession, table_path: str) -> DataFrame:

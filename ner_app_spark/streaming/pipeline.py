@@ -36,9 +36,16 @@ def stream_kg_triples(
     lang: str = "ru",
     num_partitions: int = 8,
     max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    processing_interval: str = "30 seconds",
 ):
     """Start (and return) the incremental triples query over a parquet
-    landing directory of pages (url, warc_ts, html, text, lang)."""
+    landing directory of pages (url, warc_ts, html, text, lang).
+    ``available_now=True`` drains what is present and stops (the
+    cron/backfill shape); ``False`` runs continuously, polling the
+    landing zone every ``processing_interval`` — the watch mode the
+    module docstring describes, previously unreachable because the
+    trigger was hardcoded."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -55,12 +62,16 @@ def stream_kg_triples(
             .parquet(f"{sink_dir}/batch={batch_id}")
         )
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    writer = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime=processing_interval)
+    )
+    return writer.start()
 
 
 def triples_result(spark: SparkSession, sink_dir: str) -> DataFrame:

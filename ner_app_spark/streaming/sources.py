@@ -44,6 +44,20 @@ def stage_chunks(
     """
     cols = [order_col] if isinstance(order_col, str) else list(order_col)
     os.makedirs(input_dir, exist_ok=True)
+    # a second wave staged into the same landing dir must not REUSE the
+    # chunk-0000... names of the first (FileStreamSource keys its
+    # seen-files map by path — a silently replaced file is never
+    # reprocessed) and must get strictly LATER mtimes than everything
+    # already staged
+    existing = [
+        f for f in os.listdir(input_dir)
+        if f.startswith("chunk-") and f.endswith(".parquet")
+    ]
+    idx0 = len(existing)
+    prev_mtime = max(
+        (os.path.getmtime(os.path.join(input_dir, f)) for f in existing),
+        default=0,
+    )
     tmp = tempfile.mkdtemp(prefix="stage_", dir=input_dir)
     try:
         # repartitionByRange partition i == i-th key range, and part file
@@ -61,9 +75,11 @@ def stage_chunks(
             if f.startswith("part-") and f.endswith(".parquet")
         )
         staged = []
-        base = int(os.path.getmtime(tmp))
+        base = max(int(os.path.getmtime(tmp)), int(prev_mtime) + 1)
         for i, name in enumerate(parts):
-            dst = os.path.join(input_dir, f"chunk-{i:04d}.parquet")
+            dst = os.path.join(
+                input_dir, f"chunk-{idx0 + i:04d}.parquet"
+            )
             shutil.move(os.path.join(tmp, name), dst)
             os.utime(dst, (base + i, base + i))
             staged.append(dst)

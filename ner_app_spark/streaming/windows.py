@@ -78,12 +78,37 @@ def streaming_window_counts(
     )
 
 
-def sentinel_ts(max_ts: dt.datetime, delay_days: int, window_days: int = 1):
+_DURATION_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _duration(spec) -> dt.timedelta:
+    """Parse the same '<n> <unit>' strings streaming_window_counts passes
+    to withWatermark/window; ints are legacy day counts."""
+    if isinstance(spec, int):
+        return dt.timedelta(days=spec)
+    n, unit = spec.strip().split()
+    return dt.timedelta(seconds=int(n) * _DURATION_UNITS[unit.lower()])
+
+
+def sentinel_ts(
+    max_ts: dt.datetime, delay="35 days", window="1 day"
+) -> dt.datetime:
     """Event time for the watermark-advancing sentinel row: beyond
     max_ts + delay by more than one window, so watermark = sentinel -
     delay clears every real window end while the sentinel's own window
-    stays open (and thus out of the sink)."""
-    return max_ts + dt.timedelta(days=delay_days + 2 * window_days + 1)
+    stays open (and thus out of the sink). ``delay``/``window`` accept
+    THE SAME duration strings the caller hands streaming_window_counts —
+    duplicating them as hand-synced integer day counts silently left
+    windows unflushed whenever the two drifted (or the delay was
+    sub-day, which a days int cannot express)."""
+    return (
+        max_ts + _duration(delay) + 2 * _duration(window)
+        + dt.timedelta(seconds=1)
+    )
 
 
 def window_counts_result(spark: SparkSession, sink_dir: str) -> DataFrame:

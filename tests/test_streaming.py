@@ -415,3 +415,113 @@ def test_icesink_empty_batch_commits_marker_only(spark, scratch):
     assert t.snapshots()[-1]["summary"]["added_files"] == 0
     # replay of the empty batch is still skipped
     assert commit_batch(spark, table, empty, "ck", 1) is None
+
+
+# ------------------------------------------- review-hardening pins (r4)
+
+
+def test_first_seen_ttl_not_premature_for_batch0_keys(spark, scratch):
+    """Review finding: the TTL used to be armed against the PRE-batch
+    watermark (0 in batch 0), expiring every batch-0 key on the first
+    watermark advance regardless of ttl_ms. Now it arms against the
+    key's own event time: an advance SMALLER than the ttl must keep the
+    state, so a later worse duplicate stays suppressed."""
+    schema = "ts timestamp, doc_id long, text_hash string"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def chunk(rows):
+        from ner_app_spark.session import local_df
+
+        return local_df(spark, rows, schema)
+
+    add_chunk(chunk([(t0, 1, "h")]), f"{scratch}/in", 0)
+    # +2h advance, ttl 6h: h must NOT expire
+    add_chunk(chunk([(t0 + dt.timedelta(hours=2), 11, "y")]), f"{scratch}/in", 1)
+    add_chunk(chunk([(t0 + dt.timedelta(hours=3), 9, "h")]), f"{scratch}/in", 2)
+    stream = _read_stream(spark, f"{scratch}/in", schema).withWatermark(
+        "ts", "1 minute"
+    )
+    streaming_first_seen(
+        stream, f"{scratch}/sink", f"{scratch}/ckpt",
+        ttl_ms=6 * 60 * 60 * 1000,
+    ).awaitTermination()
+    emitted = spark.read.parquet(f"{scratch}/sink")
+    h_rows = sorted(
+        r.doc_id for r in emitted.filter(F.col("text_hash") == "h").collect()
+    )
+    assert h_rows == [1]  # doc 9 suppressed: state survived the 2h advance
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        streaming_first_seen(
+            stream, f"{scratch}/sink2", f"{scratch}/ckpt2", ttl_ms=0
+        )
+
+
+def test_stage_chunks_second_wave_appends_after_first(spark, scratch):
+    """Review finding: a second stage_chunks wave into the same landing
+    dir used to REUSE chunk-0000 names (replaced files are never
+    reprocessed by FileStreamSource) and could stamp earlier mtimes.
+    Both waves must be fully processed."""
+    from ner_app_spark.session import local_df
+
+    schema = "doc_id long, text_hash string"
+    inp = f"{scratch}/in"
+    w1 = local_df(spark, [(1, "a"), (2, "b")], schema)
+    w2 = local_df(spark, [(3, "c"), (4, "d")], schema)
+    p1 = stage_chunks(w1, inp, "doc_id", 2)
+    p2 = stage_chunks(w2, inp, "doc_id", 2)
+    assert not set(p1) & set(p2)  # no name reuse
+    assert min(os.path.getmtime(p) for p in p2) > max(
+        os.path.getmtime(p) for p in p1
+    )
+    streaming_first_seen(
+        _read_stream(spark, inp, schema), f"{scratch}/sink", f"{scratch}/ckpt"
+    ).awaitTermination()
+    got = sorted(
+        r.text_hash for r in spark.read.parquet(f"{scratch}/sink").collect()
+    )
+    assert got == ["a", "b", "c", "d"]
+
+
+def test_continuous_trigger_processes_late_arrivals(spark, scratch):
+    """Review finding: the trigger was hardcoded availableNow, making the
+    advertised continuous landing-zone watch unreachable. With
+    available_now=False the query must pick up a file dropped AFTER
+    start, then stop cleanly."""
+    import time as _time
+
+    from ner_app_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, 8)
+    inp, sink, ckpt = f"{scratch}/in", f"{scratch}/sink", f"{scratch}/ckpt"
+    halves = [pages.filter(F.crc32(F.col("url")) % 2 == i) for i in range(2)]
+    add_chunk(halves[0], inp, 0)
+    q = stream_kg_triples(
+        spark, inp, sink, ckpt, schema=pages.schema, num_partitions=2,
+        available_now=False, processing_interval="1 seconds",
+    )
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline and len(
+            [d for d in os.listdir(sink) if d.startswith("batch=")]
+            if os.path.exists(sink) else []
+        ) < 1:
+            _time.sleep(1)
+        add_chunk(halves[1], inp, 1)  # arrives AFTER the query started
+        while _time.time() < deadline:
+            if os.path.exists(sink) and len(
+                [d for d in os.listdir(sink) if d.startswith("batch=")]
+            ) >= 2:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    res = triples_result(spark, sink)
+    n_batches = len(
+        [d for d in os.listdir(sink) if d.startswith("batch=")]
+    )
+    assert n_batches >= 2  # the late file was picked up continuously
+    assert res.count() > 0
