@@ -1305,6 +1305,147 @@ class IceTable:
             df = df.filter(_residual_expr(filters))
         return df, report
 
+    def incremental_scan(
+        self,
+        spark: SparkSession,
+        from_snapshot: str,
+        to_snapshot: str | None = None,
+        filters: list[tuple] | None = None,
+        columns: list[str] | None = None,
+    ) -> tuple[DataFrame, "IncrementalReport"]:
+        """Read ONLY the rows appended after ``from_snapshot``, up to and
+        including ``to_snapshot`` (default: current) — Iceberg's
+        incremental append scan, the primitive behind
+        ``spark.read.option("start-snapshot-id", ...)``. This is how a
+        recurring KG build consumes a growing pages table: each run
+        processes the pages landed since the snapshot it last saw,
+        instead of rescanning 10^12 rows.
+
+        Semantics (matching Iceberg's ``IncrementalAppendScan``):
+
+          * ``from_snapshot`` is EXCLUSIVE, ``to_snapshot`` inclusive;
+            both must be live snapshots with ``from`` an ancestor of
+            ``to`` (an expired endpoint fails loudly rather than
+            silently under-reading);
+          * each ``append`` snapshot in range contributes exactly the
+            data files it ADDED (manifest path-diff vs its parent).
+            Those files are immutable and stay on disk until
+            ``expire_snapshots``, so a later compaction does not
+            invalidate the diff;
+          * ``replace`` (compaction) snapshots are data-neutral and are
+            skipped, counted in the report;
+          * an ``overwrite`` or ``delete`` in range raises ValueError —
+            row-level removals have no incremental-append
+            representation (Iceberg errors identically);
+          * no equality deletes apply: files appended in range carry a
+            sequence number strictly above every delete committed at or
+            before ``from_snapshot``, and later deletes are out of
+            range by the rule above.
+
+        File pruning and residual ``filters`` behave exactly as in
+        ``scan``. Columns project against the CURRENT table schema
+        (older files null-fill evolved-in columns, as in ``scan``).
+        """
+        meta = self._read_meta()
+        by_id = {s["id"]: s for s in meta["snapshots"]}
+        to_sid = to_snapshot or meta["current_snapshot_id"]
+        for endpoint in (from_snapshot, to_sid):
+            if endpoint not in by_id:
+                raise KeyError(
+                    f"unknown snapshot {endpoint} at {self.path}"
+                )
+        # walk parents from `to` back to (exclusive) `from`
+        chain: list[dict] = []
+        sid = to_sid
+        while sid != from_snapshot:
+            if sid is None or sid not in by_id:
+                raise ValueError(
+                    f"{from_snapshot} is not an ancestor of {to_sid} "
+                    f"at {self.path}"
+                )
+            chain.append(by_id[sid])
+            sid = by_id[sid]["parent"]
+        chain.reverse()  # oldest -> newest
+        bad = [s for s in chain if s["operation"] in ("overwrite", "delete")]
+        if bad:
+            raise ValueError(
+                f"incremental scan crosses non-append snapshots "
+                f"{[s['id'] for s in bad]} "
+                f"({sorted({s['operation'] for s in bad})}) at {self.path}"
+            )
+        added: list[dict] = []
+        replaces_skipped = 0
+        for s in chain:
+            if s["operation"] == "replace":
+                replaces_skipped += 1
+                continue
+            parent_paths = {
+                e["path"] for e in self._read_manifest(s["parent"])
+            }
+            added.extend(
+                e for e in self._read_manifest(s["id"])
+                if e["path"] not in parent_paths
+            )
+        filters = list(filters or [])
+        spec = [Transform.from_json(d) for d in meta["partition_spec"]]
+        prune_filters = filters + _derived_filters(filters, spec)
+        kept = [
+            e for e in added
+            if all(
+                _file_may_match(e, c, op, v) for c, op, v in prune_filters
+            )
+        ]
+        report = IncrementalReport(
+            from_snapshot=from_snapshot,
+            to_snapshot=to_sid,
+            appends=sum(1 for s in chain if s["operation"] == "append"),
+            replaces_skipped=replaces_skipped,
+            files_total=len(added),
+            files_kept=len(kept),
+            records_total=sum(e["record_count"] for e in added),
+            records_kept_bound=sum(e["record_count"] for e in kept),
+        )
+        schema = StructType.fromJson(meta["schema_json"])
+        out_cols = columns or schema.fieldNames()
+        unknown = [c for c in out_cols if c not in schema.fieldNames()]
+        if unknown:
+            raise KeyError(f"unknown columns {unknown} at {self.path}")
+        if not kept:
+            empty = spark.createDataFrame([], schema).select(*out_cols)
+            return empty, report
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[e["path"] for e in kept])
+        )
+        fields = {f.name: f for f in schema.fields}
+        df = df.select(
+            *[
+                F.col(c).cast(fields[c].dataType)
+                if c in df.columns
+                else F.lit(None).cast(fields[c].dataType).alias(c)
+                for c in out_cols
+            ]
+        )
+        if filters:
+            df = df.filter(_residual_expr(filters))
+        return df, report
+
+
+@dataclass
+class IncrementalReport:
+    from_snapshot: str
+    to_snapshot: str
+    appends: int
+    replaces_skipped: int
+    files_total: int
+    files_kept: int
+    records_total: int
+    records_kept_bound: int
+
+    @property
+    def files_pruned(self) -> int:
+        return self.files_total - self.files_kept
+
 
 def _align_for_append(df: DataFrame, schema: StructType):
     """Null-fill table columns the append lacks; keep genuinely new

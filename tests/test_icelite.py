@@ -871,3 +871,129 @@ def test_reader_never_sees_partial_commit(spark, events, tmp_path):
     t.append(spark, _events(spark, n=5), target_files=1)
     for v in range(1, t.current_version() + 1):
         json.load(open(t._meta_path(v)))  # every version parses complete
+
+
+# ------------------------------------------------------ incremental scan
+
+
+def test_incremental_scan_reads_only_appended_rows(spark, events, tmp_path):
+    """Iceberg incremental append scan: (from, to] appends only."""
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=2)
+    s0 = t.current_snapshot_id()
+    t.append(spark, _events(spark, n=40).withColumn(
+        "event_id", F.col("event_id") + 10_000), target_files=2)
+    s1 = t.current_snapshot_id()
+    t.append(spark, _events(spark, n=7).withColumn(
+        "event_id", F.col("event_id") + 20_000), target_files=1)
+    s2 = t.current_snapshot_id()
+
+    df, rep = t.incremental_scan(spark, from_snapshot=s0)
+    assert df.count() == 47
+    assert rep.appends == 2 and rep.replaces_skipped == 0
+    assert rep.records_total == 47
+    # the base 600 rows are never touched
+    assert df.filter(F.col("event_id") < 10_000).count() == 0
+
+    df, rep = t.incremental_scan(spark, from_snapshot=s1, to_snapshot=s2)
+    assert df.count() == 7
+    assert {r.event_id for r in df.select("event_id").collect()} == {
+        20_000 + i for i in range(7)
+    }
+
+    # from == to: empty, schema intact
+    df, rep = t.incremental_scan(spark, from_snapshot=s2, to_snapshot=s2)
+    assert df.count() == 0 and rep.appends == 0
+    assert sorted(df.columns) == sorted(events.columns)
+
+
+def test_incremental_scan_skips_compaction_replace(spark, events, tmp_path):
+    """A replace snapshot in range is data-neutral: the appended files
+    are read from the pre-compaction manifests (still on disk until
+    expire), so the row set is exactly the in-range appends."""
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    s0 = t.current_snapshot_id()
+    t.append(spark, _events(spark, n=31).withColumn(
+        "event_id", F.col("event_id") + 10_000), target_files=3)
+    assert t.compact(spark, small_file_bytes=64 << 20) is not None
+    t.append(spark, _events(spark, n=5).withColumn(
+        "event_id", F.col("event_id") + 20_000), target_files=1)
+
+    df, rep = t.incremental_scan(spark, from_snapshot=s0)
+    assert rep.replaces_skipped == 1 and rep.appends == 2
+    assert df.count() == 36
+    ids = {r.event_id for r in df.select("event_id").collect()}
+    assert ids == ({10_000 + i for i in range(31)}
+                   | {20_000 + i for i in range(5)})
+
+
+def test_incremental_scan_rejects_overwrite_and_delete_in_range(
+    spark, events, tmp_path
+):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    s0 = t.current_snapshot_id()
+    t.overwrite(spark, _events(spark, n=10))
+    with pytest.raises(ValueError, match="non-append"):
+        t.incremental_scan(spark, from_snapshot=s0)
+
+    t2 = IceTable.create(spark, str(tmp_path / "t2"), events, target_files=1)
+    s0 = t2.current_snapshot_id()
+    t2.delete(spark, spark.createDataFrame([Row(kind="buy")]))
+    with pytest.raises(ValueError, match="non-append"):
+        t2.incremental_scan(spark, from_snapshot=s0)
+
+
+def test_incremental_scan_validates_endpoints(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    s0 = t.current_snapshot_id()
+    t.append(spark, _events(spark, n=3), target_files=1)
+    s1 = t.current_snapshot_id()
+    with pytest.raises(KeyError, match="unknown snapshot"):
+        t.incremental_scan(spark, from_snapshot="deadbeefdeadbeef")
+    # from must be an ancestor of to, not a descendant
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.incremental_scan(spark, from_snapshot=s1, to_snapshot=s0)
+
+
+def test_incremental_scan_prunes_and_filters(spark, events, tmp_path):
+    """Stats pruning and residual filters apply to the incremental file
+    set exactly as in scan()."""
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), events,
+        partition_spec=[identity("kind")], target_files=1,
+    )
+    s0 = t.current_snapshot_id()
+    t.append(
+        spark,
+        _events(spark, n=90).withColumn(
+            "event_id", F.col("event_id") + 10_000),
+        target_files=3,
+    )
+    df, rep = t.incremental_scan(
+        spark, from_snapshot=s0, filters=[("kind", "=", "buy")],
+        columns=["event_id", "kind"],
+    )
+    assert rep.files_pruned > 0  # identity(kind) partitioning prunes
+    rows = df.collect()
+    assert all(r.kind == "buy" for r in rows)
+    assert len(rows) == 30
+    assert df.columns == ["event_id", "kind"]
+
+
+def test_incremental_scan_unaffected_by_prior_delete(spark, events, tmp_path):
+    """A delete committed at-or-before `from` never applies to rows
+    appended after it (sequence-number rule) — the incremental read of
+    the later append returns every appended row, even key-colliding
+    ones."""
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    t.delete(spark, spark.createDataFrame([Row(user_id="u001")]))
+    s_del = t.current_snapshot_id()
+    t.append(
+        spark,
+        spark.createDataFrame([Row(
+            event_id=99_999, user_id="u001", kind="view",
+            amount=1.0, ts=dt.datetime(2024, 3, 9),
+        )]),
+        target_files=1,
+    )
+    df, _ = t.incremental_scan(spark, from_snapshot=s_del)
+    assert [r.user_id for r in df.collect()] == ["u001"]
