@@ -1043,6 +1043,41 @@ class IceTable:
                     **retained[0]["summary"],
                     "streaming_commits_carried": carried,
                 }
+            # carry incremental-ingestion high-water marks the same way
+            # (plans/incremental.py): an expired snapshot's marker moves
+            # to the FIRST retained snapshot after it in log order, so
+            # "newest marker wins" still resolves correctly even when
+            # tag-pinned snapshots leave holes in the retained history
+            pos = {s["id"]: i for i, s in enumerate(snaps)}
+            ret_pos = sorted((pos[s["id"]], i) for i, s in enumerate(retained))
+            set_this_pass: set[int] = set()
+            for s in expired:  # log order: later absorptions are newer
+                inc = s["summary"].get("incremental_source") or s[
+                    "summary"
+                ].get("incremental_source_carried")
+                if not inc:
+                    continue
+                anchor = next(
+                    (i for p, i in ret_pos if p > pos[s["id"]]), None
+                )
+                if anchor is None:  # current is always last and retained
+                    continue
+                a = retained[anchor]
+                # an anchor's own marker is newer than anything before
+                # it; a PRE-EXISTING carried value always originates
+                # later in the log than a snapshot expiring in a LATER
+                # pass (else that pass's anchor would have been earlier)
+                # — both win over this absorption. Within this pass,
+                # later-position absorptions overwrite earlier ones.
+                if "incremental_source" in a["summary"] or (
+                    "incremental_source_carried" in a["summary"]
+                    and anchor not in set_this_pass
+                ):
+                    continue
+                set_this_pass.add(anchor)
+                a["summary"] = {
+                    **a["summary"], "incremental_source_carried": inc,
+                }
             new_meta = dict(meta)
             new_meta["snapshots"] = retained
             try:
