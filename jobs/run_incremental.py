@@ -30,6 +30,7 @@ def main() -> int:
     ap.add_argument("--parts", type=int, default=32)
     ap.add_argument("--lang", default="ru")
     ap.add_argument("--target-files", type=int, default=None)
+    ap.add_argument("--min-link-score", type=float, default=0.5)
     args = ap.parse_args()
 
     from ner_app_spark.plans.incremental import run_incremental
@@ -44,6 +45,7 @@ def main() -> int:
         lang=args.lang,
         n_parts=args.parts,
         target_files=args.target_files,
+        min_link_score=args.min_link_score,
     )
     counters["wall_sec"] = round(time.monotonic() - t0, 3)
     print(json.dumps(counters))

@@ -16,12 +16,14 @@ either append, between the two appends — leaves each output table with a
 truthful high-water mark; the next run reads each table's marker and
 catches it up independently. No offsets live outside the tables.
 
-Only the DOC-LOCAL stages are incremental (extract → phrases → triples:
-each page's rows depend on that page alone, so appends compose). The
-global stages (linking, connected-components canonicalization,
-nodes/edges) read the WHOLE accumulated triples/phrases tables — that is
-the periodic publish job (jobs/run_pipeline.py --publish), which at scale
-runs at a lower cadence than ingestion.
+Only the DOC-LOCAL stages are incremental: extract → phrases → triples
+(each page's rows depend on that page alone) and per-occurrence entity
+linking (a mention's link is a deterministic function of the mention and
+the static broadcast alias dim, so per-doc occurrence rows compose over
+appends too). The genuinely global stages (connected-components
+canonicalization, nodes/edges) read the WHOLE accumulated tables — that
+is the periodic publish job (jobs/run_pipeline.py --publish), which at
+scale runs at a lower cadence than ingestion.
 """
 
 from __future__ import annotations
@@ -38,6 +40,8 @@ from ..operators.extract import (
     fused_phrases,
     fused_triples,
 )
+from ..operators.linking import link_mentions, link_occurrences
+from ..sources.pages import alias_dict_df
 from ..tables.icelite import IceTable
 
 #: snapshot-summary key stamped on every incremental append: the pages
@@ -68,6 +72,7 @@ def run_incremental(
     lang: str = "ru",
     n_parts: int = 32,
     target_files: int | None = None,
+    min_link_score: float = 0.5,
 ) -> dict:
     """One incremental ingestion run. Returns a counters dict; a no-op
     run (no new pages for any output table) reports ``pages: 0``.
@@ -80,8 +85,8 @@ def run_incremental(
     pages_t = IceTable(pages_path)
     to_sid = pages_t.current_snapshot_id()
     out_paths = {
-        "phrases": os.path.join(out_root, "phrases"),
-        "triples": os.path.join(out_root, "triples"),
+        name: os.path.join(out_root, name)
+        for name in ("phrases", "triples", "links")
     }
     froms = {
         name: (
@@ -96,6 +101,7 @@ def run_incremental(
         "pages": 0,
         "phrases": 0,
         "triples": 0,
+        "links": 0,
         "tables_caught_up": [],
     }
     for from_sid in sorted(
@@ -125,9 +131,21 @@ def run_incremental(
         try:
             fused.write.mode("overwrite").parquet(scratch)
             fused = spark.read.parquet(scratch)
+            phrases = fused_phrases(fused)
             frames = {
-                "phrases": fused_phrases(fused),
+                "phrases": phrases,
                 "triples": fused_triples(fused),
+                # per-doc occurrences compose over appends: the per-
+                # mention link is deterministic against the static
+                # broadcast alias dim, and scoring runs over only the
+                # increment's DISTINCT mentions
+                "links": link_occurrences(
+                    phrases,
+                    link_mentions(
+                        phrases, alias_dict_df(spark),
+                        min_score=min_link_score,
+                    ),
+                ),
             }
             n_pages = inc.count()
             for name in behind:

@@ -13,12 +13,13 @@ from ner_app_spark.operators.extract import (
     fused_phrases,
     fused_triples,
 )
+from ner_app_spark.operators.linking import link_mentions, link_occurrences
 from ner_app_spark.plans.incremental import (
     MARKER,
     last_consumed_snapshot,
     run_incremental,
 )
-from ner_app_spark.sources.pages import synth_pages_df
+from ner_app_spark.sources.pages import alias_dict_df, synth_pages_df
 from ner_app_spark.tables.icelite import IceTable
 
 
@@ -31,7 +32,15 @@ def _full_recompute(spark, n_pages, kind):
         extracted_text(synth_pages_df(spark, n_pages)),
         num_partitions=8, text_col="extracted",
     )
-    df = fused_phrases(fused) if kind == "phrases" else fused_triples(fused)
+    if kind == "phrases":
+        df = fused_phrases(fused)
+    elif kind == "triples":
+        df = fused_triples(fused)
+    else:
+        phrases = fused_phrases(fused)
+        df = link_occurrences(
+            phrases, link_mentions(phrases, alias_dict_df(spark))
+        )
     return sorted(map(tuple, df.collect()))
 
 
@@ -47,18 +56,16 @@ def test_incremental_runs_equal_full_recompute(spark, tmp_path):
 
     c1 = run_incremental(spark, pages_path, out, n_parts=8)
     assert c1["pages"] == 40
-    assert set(c1["tables_caught_up"]) == {"phrases", "triples"}
+    assert set(c1["tables_caught_up"]) == {"phrases", "triples", "links"}
 
     IceTable(pages_path).append(spark, _batch(spark, 40, 70), target_files=2)
     c2 = run_incremental(spark, pages_path, out, n_parts=8)
     assert c2["pages"] == 30  # ONLY the appended pages were processed
 
-    assert _table_rows(spark, f"{out}/phrases") == _full_recompute(
-        spark, 70, "phrases"
-    )
-    assert _table_rows(spark, f"{out}/triples") == _full_recompute(
-        spark, 70, "triples"
-    )
+    for kind in ("phrases", "triples", "links"):
+        assert _table_rows(spark, f"{out}/{kind}") == _full_recompute(
+            spark, 70, kind
+        )
 
 
 def test_noop_when_no_new_pages(spark, tmp_path):
@@ -68,12 +75,12 @@ def test_noop_when_no_new_pages(spark, tmp_path):
     run_incremental(spark, pages_path, out, n_parts=4)
     snaps_before = {
         n: len(IceTable(f"{out}/{n}").snapshots())
-        for n in ("phrases", "triples")
+        for n in ("phrases", "triples", "links")
     }
     c = run_incremental(spark, pages_path, out, n_parts=4)
     assert c["pages"] == 0 and c["tables_caught_up"] == []
     # no-op run commits nothing
-    for n in ("phrases", "triples"):
+    for n in ("phrases", "triples", "links"):
         assert len(IceTable(f"{out}/{n}").snapshots()) == snaps_before[n]
 
 
@@ -102,21 +109,21 @@ def test_crash_between_appends_catches_up_per_table(
         run_incremental(spark, pages_path, out, n_parts=4)
     monkeypatch.undo()
 
-    # phrases advanced, triples did not
+    # phrases advanced, triples/links did not
     marks = {
         n: last_consumed_snapshot(IceTable(f"{out}/{n}"))
-        for n in ("phrases", "triples")
+        for n in ("phrases", "triples", "links")
     }
     assert marks["phrases"] != marks["triples"]
+    assert marks["triples"] == marks["links"]
 
     c = run_incremental(spark, pages_path, out, n_parts=4)
-    assert c["tables_caught_up"] == ["triples"]  # phrases already done
-    assert _table_rows(spark, f"{out}/phrases") == _full_recompute(
-        spark, 50, "phrases"
-    )
-    assert _table_rows(spark, f"{out}/triples") == _full_recompute(
-        spark, 50, "triples"
-    )
+    # phrases already done; the lagging tables catch up, no duplicates
+    assert sorted(c["tables_caught_up"]) == ["links", "triples"]
+    for kind in ("phrases", "triples", "links"):
+        assert _table_rows(spark, f"{out}/{kind}") == _full_recompute(
+            spark, 50, kind
+        )
 
 
 def test_marker_survives_compaction_and_expiry(spark, tmp_path):
