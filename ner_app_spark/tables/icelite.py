@@ -1340,6 +1340,31 @@ class IceTable:
             df = df.filter(_residual_expr(filters))
         return df, report
 
+    def _snapshot_chain(
+        self, meta: dict, from_snapshot: str, to_sid: str
+    ) -> list[dict]:
+        """Snapshot entries strictly after ``from_snapshot`` up to and
+        including ``to_sid``, oldest first. Raises on unknown endpoints
+        or a non-ancestor ``from_snapshot``."""
+        by_id = {s["id"]: s for s in meta["snapshots"]}
+        for endpoint in (from_snapshot, to_sid):
+            if endpoint not in by_id:
+                raise KeyError(
+                    f"unknown snapshot {endpoint} at {self.path}"
+                )
+        chain: list[dict] = []
+        sid = to_sid
+        while sid != from_snapshot:
+            if sid is None or sid not in by_id:
+                raise ValueError(
+                    f"{from_snapshot} is not an ancestor of {to_sid} "
+                    f"at {self.path}"
+                )
+            chain.append(by_id[sid])
+            sid = by_id[sid]["parent"]
+        chain.reverse()  # oldest -> newest
+        return chain
+
     def incremental_scan(
         self,
         spark: SparkSession,
@@ -1382,25 +1407,8 @@ class IceTable:
         (older files null-fill evolved-in columns, as in ``scan``).
         """
         meta = self._read_meta()
-        by_id = {s["id"]: s for s in meta["snapshots"]}
         to_sid = to_snapshot or meta["current_snapshot_id"]
-        for endpoint in (from_snapshot, to_sid):
-            if endpoint not in by_id:
-                raise KeyError(
-                    f"unknown snapshot {endpoint} at {self.path}"
-                )
-        # walk parents from `to` back to (exclusive) `from`
-        chain: list[dict] = []
-        sid = to_sid
-        while sid != from_snapshot:
-            if sid is None or sid not in by_id:
-                raise ValueError(
-                    f"{from_snapshot} is not an ancestor of {to_sid} "
-                    f"at {self.path}"
-                )
-            chain.append(by_id[sid])
-            sid = by_id[sid]["parent"]
-        chain.reverse()  # oldest -> newest
+        chain = self._snapshot_chain(meta, from_snapshot, to_sid)
         bad = [s for s in chain if s["operation"] in ("overwrite", "delete")]
         if bad:
             raise ValueError(
@@ -1464,6 +1472,110 @@ class IceTable:
         if filters:
             df = df.filter(_residual_expr(filters))
         return df, report
+
+    def changelog_scan(
+        self,
+        spark: SparkSession,
+        from_snapshot: str,
+        to_snapshot: str | None = None,
+    ) -> DataFrame:
+        """Row-level change stream between two snapshots (Iceberg's
+        ``create_changelog_view``): every table column plus
+
+          * ``_change_type``      — 'insert' | 'delete'
+          * ``_change_ordinal``   — position of the commit in the range
+            (apply changes in ordinal order to replay history)
+          * ``_commit_snapshot_id``
+
+        Semantics per snapshot in ``(from, to]``:
+
+          * ``append``  — its added files emit as 'insert' rows;
+          * ``delete``  — emits the rows the equality delete actually
+            removed: rows VISIBLE at the parent snapshot whose key tuple
+            matches the delete's keys (a key deleted twice emits
+            nothing the second time; a key with no matching rows emits
+            nothing). Computing this requires a scan pinned at the
+            parent snapshot — the inherent cost of equality-delete CDC;
+          * ``replace`` (compaction) — data-neutral, emits nothing;
+          * ``overwrite`` — raises ValueError: a wholesale replacement
+            has no row-level diff short of comparing both sides
+            (Iceberg's changelog errors identically).
+
+        Invariant (pinned by tests): applying the changes in ordinal
+        order to ``scan(from)`` — union the inserts, multiset-subtract
+        the deletes — reproduces ``scan(to)`` exactly.
+        """
+        meta = self._read_meta()
+        to_sid = to_snapshot or meta["current_snapshot_id"]
+        chain = self._snapshot_chain(meta, from_snapshot, to_sid)
+        bad = [s for s in chain if s["operation"] == "overwrite"]
+        if bad:
+            raise ValueError(
+                f"changelog cannot represent overwrite snapshots "
+                f"{[s['id'] for s in bad]} at {self.path}"
+            )
+        schema = StructType.fromJson(meta["schema_json"])
+        fields = {f.name: f for f in schema.fields}
+        cols = schema.fieldNames()
+
+        def _stamp(df: DataFrame, change: str, ordinal: int, sid: str):
+            return df.select(
+                *[
+                    F.col(c).cast(fields[c].dataType)
+                    if c in df.columns
+                    else F.lit(None).cast(fields[c].dataType).alias(c)
+                    for c in cols
+                ],
+                F.lit(change).alias("_change_type"),
+                F.lit(ordinal).alias("_change_ordinal"),
+                F.lit(sid).alias("_commit_snapshot_id"),
+            )
+
+        parts: list[DataFrame] = []
+        for ordinal, s in enumerate(chain):
+            op, sid = s["operation"], s["id"]
+            if op == "replace":
+                continue
+            if op == "append":
+                parent_paths = {
+                    e["path"] for e in self._read_manifest(s["parent"])
+                }
+                added = [
+                    e for e in self._read_manifest(sid)
+                    if e["path"] not in parent_paths
+                ]
+                if not added:
+                    continue
+                df = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*[e["path"] for e in added])
+                )
+                parts.append(_stamp(df, "insert", ordinal, sid))
+            elif op == "delete":
+                parent_dpaths = {
+                    d["path"] for d in self._read_deletes(s["parent"])
+                }
+                new_dels = [
+                    d for d in self._read_deletes(sid)
+                    if d["path"] not in parent_dpaths
+                ]
+                if not new_dels:
+                    continue
+                key_cols = new_dels[0]["key_cols"]
+                keys = (
+                    spark.read.parquet(*[d["path"] for d in new_dels])
+                    .select(*key_cols).dropDuplicates(key_cols)
+                )
+                visible, _ = self.scan(spark, snapshot_id=s["parent"])
+                removed = visible.join(keys, on=key_cols, how="left_semi")
+                parts.append(_stamp(removed, "delete", ordinal, sid))
+        if not parts:
+            empty = spark.createDataFrame([], schema)
+            return _stamp(empty, "insert", 0, to_sid).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
 
 @dataclass

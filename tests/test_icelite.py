@@ -997,3 +997,94 @@ def test_incremental_scan_unaffected_by_prior_delete(spark, events, tmp_path):
     )
     df, _ = t.incremental_scan(spark, from_snapshot=s_del)
     assert [r.user_id for r in df.collect()] == ["u001"]
+
+
+# -------------------------------------------------------- changelog scan
+
+
+def test_changelog_emits_inserts_and_deleted_rows(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    s0 = t.current_snapshot_id()
+    t.append(spark, _events(spark, n=9).withColumn(
+        "event_id", F.col("event_id") + 10_000), target_files=1)
+    t.delete(spark, spark.createDataFrame([Row(kind="buy")]))
+    s_del = t.current_snapshot_id()
+
+    log = t.changelog_scan(spark, from_snapshot=s0)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in log.groupBy("_change_type").agg(
+            F.count("*").alias("n")).collect()
+    }
+    assert by_type["insert"] == 9
+    # deleted rows = every 'buy' visible before the delete: 200 of the
+    # base 600 plus 3 of the 9 appended
+    assert by_type["delete"] == 203
+    # ordinals follow commit order; the delete stamps its snapshot id
+    dels = log.filter(F.col("_change_type") == "delete")
+    assert dels.select("_commit_snapshot_id").distinct().collect()[0][0] == s_del
+    assert (
+        log.filter(F.col("_change_type") == "insert")
+        .select(F.max("_change_ordinal")).collect()[0][0]
+        < dels.select(F.min("_change_ordinal")).collect()[0][0]
+    )
+
+
+def test_changelog_replay_reconstructs_state(spark, events, tmp_path):
+    """Applying the changelog in ordinal order to scan(from) reproduces
+    scan(to) as a multiset — the CDC soundness invariant."""
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=2)
+    s0 = t.current_snapshot_id()
+    t.append(spark, _events(spark, n=50).withColumn(
+        "event_id", F.col("event_id") + 10_000), target_files=2)
+    t.delete(spark, spark.createDataFrame([Row(user_id="u003")]))
+    t.append(spark, _events(spark, n=4).withColumn(
+        "event_id", F.col("event_id") + 20_000), target_files=1)
+    t.compact(spark, small_file_bytes=64 << 20)
+    # a second delete including a key with rows appended AFTER the first
+    # delete and a key already scrubbed
+    t.delete(spark, spark.createDataFrame(
+        [Row(user_id="u003"), Row(user_id="u007")]))
+    s1 = t.current_snapshot_id()
+
+    cols = sorted(c for c in events.columns)
+    log = t.changelog_scan(spark, from_snapshot=s0, to_snapshot=s1)
+    state = t.scan(spark, snapshot_id=s0)[0].select(*cols)
+    ordinals = sorted(
+        r[0] for r in log.select("_change_ordinal").distinct().collect()
+    )
+    for o in ordinals:
+        step = log.filter(F.col("_change_ordinal") == o)
+        ins = step.filter(F.col("_change_type") == "insert").select(*cols)
+        dels = step.filter(F.col("_change_type") == "delete").select(*cols)
+        state = state.unionByName(ins).exceptAll(dels)
+    expect = t.scan(spark, snapshot_id=s1)[0].select(*cols)
+    assert sorted(map(tuple, state.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+
+
+def test_changelog_rejects_overwrite_and_skips_replace(
+    spark, events, tmp_path
+):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    s0 = t.current_snapshot_id()
+    t.append(spark, _events(spark, n=20), target_files=3)
+    assert t.compact(spark, small_file_bytes=64 << 20) is not None
+    log = t.changelog_scan(spark, from_snapshot=s0)
+    assert log.count() == 20  # replace contributed nothing
+    assert log.filter(F.col("_change_type") != "insert").count() == 0
+
+    t.overwrite(spark, _events(spark, n=5))
+    with pytest.raises(ValueError, match="overwrite"):
+        t.changelog_scan(spark, from_snapshot=s0)
+
+
+def test_changelog_empty_range_keeps_schema(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    s0 = t.current_snapshot_id()
+    log = t.changelog_scan(spark, from_snapshot=s0, to_snapshot=s0)
+    assert log.count() == 0
+    assert set(log.columns) == set(events.columns) | {
+        "_change_type", "_change_ordinal", "_commit_snapshot_id"
+    }
