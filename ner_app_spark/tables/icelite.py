@@ -820,6 +820,80 @@ class IceTable:
             f"delete lost {max_retries} commit races at {self.path}"
         )
 
+    def upsert(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        key_cols: list[str],
+        target_files: int | None = None,
+        max_retries: int = 5,
+    ) -> str:
+        """MERGE: atomically replace every row whose key tuple matches
+        ``df`` and insert ``df``'s rows — ONE ``merge`` snapshot commit
+        carrying both the equality-delete files (over ``df``'s distinct
+        keys) and the new data files. This is the re-crawl shape: a page
+        re-fetched upserts by url without a window where the url is
+        missing (delete-then-append is two commits; a reader between
+        them sees neither version). Keys with no existing rows simply
+        insert.
+
+        The delete files take the next sequence number and the data
+        files the one after, so the scan-time rule (delete removes rows
+        with file seq <= delete seq) scrubs every prior version and
+        spares the rows committed here. Metadata-only retry on commit
+        races, like every other writer."""
+        meta = self._read_meta()
+        schema = StructType.fromJson(meta["schema_json"])
+        missing = [c for c in key_cols if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"upsert key columns not in table: {missing}")
+        spec = [Transform.from_json(d) for d in meta["partition_spec"]]
+        aligned, new_schema = _align_for_append(df, schema)
+        added = self._write_data(
+            spark, aligned, spec, target_files,
+            sort_cols=meta.get("sort_order", []),
+        )
+        keys_written = self._write_data(
+            spark,
+            df.select(*key_cols).dropDuplicates(list(key_cols)),
+            spec=[], target_files=None,
+        )
+        for _ in range(max_retries):
+            base, base_deletes = self._read_snap(meta["current_snapshot_id"])
+            dseq = self._next_seq(base, base_deletes)
+            dentries = [
+                {**e, "key_cols": list(key_cols), "seq": dseq}
+                for e in keys_written
+            ]
+            for e in added:
+                e["seq"] = dseq + 1
+            files = base + added
+            sid = self._write_manifest(files, base_deletes + dentries)
+            entry = self._snap_entry(
+                sid, meta["current_snapshot_id"], "merge", added, files
+            )
+            entry["summary"]["delete_files"] = len(dentries)
+            entry["summary"]["upsert_keys"] = sum(
+                e["record_count"] for e in dentries
+            )
+            new_meta = dict(meta)
+            new_meta["schema_json"] = json.loads(new_schema.json())
+            new_meta["current_snapshot_id"] = sid
+            new_meta["snapshots"] = meta["snapshots"] + [entry]
+            try:
+                self._commit(new_meta, expected_version=meta["_version"])
+                return sid
+            except CommitConflict:
+                meta = self._read_meta()  # re-merge against the winner
+                merged = StructType.fromJson(meta["schema_json"])
+                for f in new_schema.fields:
+                    if f.name not in merged.fieldNames():
+                        merged = merged.add(f)
+                new_schema = merged
+        raise CommitConflict(
+            f"upsert lost {max_retries} commit races at {self.path}"
+        )
+
     # ---------------- table maintenance
 
     def compact(
@@ -1394,9 +1468,10 @@ class IceTable:
             invalidate the diff;
           * ``replace`` (compaction) snapshots are data-neutral and are
             skipped, counted in the report;
-          * an ``overwrite`` or ``delete`` in range raises ValueError —
-            row-level removals have no incremental-append
-            representation (Iceberg errors identically);
+          * an ``overwrite``, ``delete``, or ``merge`` in range raises
+            ValueError — row-level removals have no incremental-append
+            representation (Iceberg errors identically; use
+            ``changelog_scan`` for delete/merge ranges);
           * no equality deletes apply: files appended in range carry a
             sequence number strictly above every delete committed at or
             before ``from_snapshot``, and later deletes are out of
@@ -1409,7 +1484,10 @@ class IceTable:
         meta = self._read_meta()
         to_sid = to_snapshot or meta["current_snapshot_id"]
         chain = self._snapshot_chain(meta, from_snapshot, to_sid)
-        bad = [s for s in chain if s["operation"] in ("overwrite", "delete")]
+        bad = [
+            s for s in chain
+            if s["operation"] in ("overwrite", "delete", "merge")
+        ]
         if bad:
             raise ValueError(
                 f"incremental scan crosses non-append snapshots "
@@ -1496,6 +1574,8 @@ class IceTable:
             nothing the second time; a key with no matching rows emits
             nothing). Computing this requires a scan pinned at the
             parent snapshot — the inherent cost of equality-delete CDC;
+          * ``merge`` (upsert) — emits both: the rows its equality
+            delete scrubbed AND its new rows, at the same ordinal;
           * ``replace`` (compaction) — data-neutral, emits nothing;
           * ``overwrite`` — raises ValueError: a wholesale replacement
             has no row-level diff short of comparing both sides
@@ -1536,22 +1616,9 @@ class IceTable:
             op, sid = s["operation"], s["id"]
             if op == "replace":
                 continue
-            if op == "append":
-                parent_paths = {
-                    e["path"] for e in self._read_manifest(s["parent"])
-                }
-                added = [
-                    e for e in self._read_manifest(sid)
-                    if e["path"] not in parent_paths
-                ]
-                if not added:
-                    continue
-                df = (
-                    spark.read.option("mergeSchema", "true")
-                    .parquet(*[e["path"] for e in added])
-                )
-                parts.append(_stamp(df, "insert", ordinal, sid))
-            elif op == "delete":
+            # a `merge` (upsert) emits BOTH: the rows its equality delete
+            # scrubbed and the rows its data files added, same ordinal
+            if op in ("delete", "merge"):
                 parent_dpaths = {
                     d["path"] for d in self._read_deletes(s["parent"])
                 }
@@ -1559,16 +1626,31 @@ class IceTable:
                     d for d in self._read_deletes(sid)
                     if d["path"] not in parent_dpaths
                 ]
-                if not new_dels:
-                    continue
-                key_cols = new_dels[0]["key_cols"]
-                keys = (
-                    spark.read.parquet(*[d["path"] for d in new_dels])
-                    .select(*key_cols).dropDuplicates(key_cols)
-                )
-                visible, _ = self.scan(spark, snapshot_id=s["parent"])
-                removed = visible.join(keys, on=key_cols, how="left_semi")
-                parts.append(_stamp(removed, "delete", ordinal, sid))
+                if new_dels:
+                    key_cols = new_dels[0]["key_cols"]
+                    keys = (
+                        spark.read.parquet(*[d["path"] for d in new_dels])
+                        .select(*key_cols).dropDuplicates(key_cols)
+                    )
+                    visible, _ = self.scan(spark, snapshot_id=s["parent"])
+                    removed = visible.join(
+                        keys, on=key_cols, how="left_semi"
+                    )
+                    parts.append(_stamp(removed, "delete", ordinal, sid))
+            if op in ("append", "merge"):
+                parent_paths = {
+                    e["path"] for e in self._read_manifest(s["parent"])
+                }
+                added = [
+                    e for e in self._read_manifest(sid)
+                    if e["path"] not in parent_paths
+                ]
+                if added:
+                    df = (
+                        spark.read.option("mergeSchema", "true")
+                        .parquet(*[e["path"] for e in added])
+                    )
+                    parts.append(_stamp(df, "insert", ordinal, sid))
         if not parts:
             empty = spark.createDataFrame([], schema)
             return _stamp(empty, "insert", 0, to_sid).limit(0)

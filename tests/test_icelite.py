@@ -1088,3 +1088,107 @@ def test_changelog_empty_range_keeps_schema(spark, events, tmp_path):
     assert set(log.columns) == set(events.columns) | {
         "_change_type", "_change_ordinal", "_commit_snapshot_id"
     }
+
+
+# ---------------------------------------------------------- upsert (MERGE)
+
+
+def test_upsert_replaces_matching_keys_in_one_commit(spark, events, tmp_path):
+    """The re-crawl shape: re-fetched rows replace their prior versions
+    and new keys insert, atomically — one snapshot, no window where a
+    key is missing."""
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=2)
+    s0 = t.current_snapshot_id()
+    n_before = len(t.snapshots())
+    fresh = spark.createDataFrame([
+        Row(event_id=1, user_id="u900", kind="buy", amount=777.0,
+            ts=dt.datetime(2024, 4, 1)),
+        Row(event_id=2, user_id="u901", kind="buy", amount=888.0,
+            ts=dt.datetime(2024, 4, 1)),
+        Row(event_id=9_999, user_id="u902", kind="view", amount=1.0,
+            ts=dt.datetime(2024, 4, 1)),
+    ])
+    t.upsert(spark, fresh, key_cols=["event_id"])
+    assert len(t.snapshots()) == n_before + 1  # ONE commit
+    assert t.snapshots()[-1]["operation"] == "merge"
+    df, _ = t.scan(spark)
+    assert df.count() == 600 + 1  # 2 replaced in place, 1 new
+    got = {r.event_id: r.amount for r in df.filter(
+        F.col("event_id").isin([1, 2, 9_999])).collect()}
+    assert got == {1: 777.0, 2: 888.0, 9_999: 1.0}
+    # time travel still sees the pre-merge rows
+    old, _ = t.scan(spark, snapshot_id=s0)
+    assert old.filter(F.col("event_id") == 1).collect()[0].user_id != "u900"
+
+
+def test_upsert_then_upsert_last_writer_wins(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    for amount in (10.0, 20.0):
+        t.upsert(spark, spark.createDataFrame([
+            Row(event_id=5, user_id="u905", kind="buy", amount=amount,
+                ts=dt.datetime(2024, 4, 2))]), key_cols=["event_id"])
+    df, _ = t.scan(spark)
+    rows = df.filter(F.col("event_id") == 5).collect()
+    assert len(rows) == 1 and rows[0].amount == 20.0
+
+
+def test_changelog_replay_across_merge(spark, events, tmp_path):
+    """CDC soundness holds through an upsert: the merge emits its
+    scrubbed rows as deletes and its new rows as inserts at one
+    ordinal."""
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=2)
+    s0 = t.current_snapshot_id()
+    t.append(spark, _events(spark, n=10).withColumn(
+        "event_id", F.col("event_id") + 10_000), target_files=1)
+    t.upsert(spark, spark.createDataFrame([
+        Row(event_id=10_001, user_id="uX", kind="buy", amount=3.5,
+            ts=dt.datetime(2024, 4, 3)),
+        Row(event_id=77_777, user_id="uY", kind="view", amount=4.5,
+            ts=dt.datetime(2024, 4, 3)),
+    ]), key_cols=["event_id"])
+    s1 = t.current_snapshot_id()
+
+    cols = sorted(events.columns)
+    log = t.changelog_scan(spark, from_snapshot=s0, to_snapshot=s1)
+    merge_step = log.filter(F.col("_commit_snapshot_id") == s1)
+    assert merge_step.filter(
+        F.col("_change_type") == "delete").count() == 1  # only 10_001 existed
+    assert merge_step.filter(
+        F.col("_change_type") == "insert").count() == 2
+    state = t.scan(spark, snapshot_id=s0)[0].select(*cols)
+    for o in sorted(
+        r[0] for r in log.select("_change_ordinal").distinct().collect()
+    ):
+        step = log.filter(F.col("_change_ordinal") == o)
+        state = state.unionByName(
+            step.filter(F.col("_change_type") == "insert").select(*cols)
+        ).exceptAll(
+            step.filter(F.col("_change_type") == "delete").select(*cols)
+        )
+    expect = t.scan(spark, snapshot_id=s1)[0].select(*cols)
+    assert sorted(map(tuple, state.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+
+
+def test_incremental_scan_rejects_merge_in_range(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=1)
+    s0 = t.current_snapshot_id()
+    t.upsert(spark, spark.createDataFrame([
+        Row(event_id=1, user_id="u900", kind="buy", amount=1.0,
+            ts=dt.datetime(2024, 4, 1))]), key_cols=["event_id"])
+    with pytest.raises(ValueError, match="non-append"):
+        t.incremental_scan(spark, from_snapshot=s0)
+
+
+def test_compact_purges_upserted_away_rows(spark, events, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "t"), events, target_files=3)
+    t.upsert(spark, spark.createDataFrame([
+        Row(event_id=0, user_id="uZ", kind="buy", amount=9.0,
+            ts=dt.datetime(2024, 4, 4))]), key_cols=["event_id"])
+    before = t.scan(spark)[0]
+    assert before.filter(F.col("event_id") == 0).collect()[0].user_id == "uZ"
+    assert t.compact(spark, small_file_bytes=64 << 20) is not None
+    after, _ = t.scan(spark)
+    assert after.count() == 600
+    assert after.filter(F.col("event_id") == 0).collect()[0].user_id == "uZ"
