@@ -194,6 +194,37 @@ def run_bench() -> dict:
             walls.append(round(time.monotonic() - t0, 3))
         timings[name] = min(walls)
 
+    # graph-analytics rows (late round 4): reported as EXTRAS, outside
+    # the headline total, so the total stays line-for-line comparable
+    # with BASELINE.md's 16-line series. Raw operators, not the
+    # (memoized) registry wrappers, so every trial re-runs the full job.
+    from ner_app_spark.operators import graphalgo
+
+    extras_fns: dict[str, object] = {
+        "dup_clusters_1k": lambda s, _: graphalgo.dup_clusters(
+            _docs_1k(s), min_jaccard=0.3
+        ),
+        "entity_pagerank": lambda s, _: graphalgo.pagerank(
+            graphalgo.cooccurrence_edges(
+                s.read.parquet(f"{SF_DIR}/documents.parquet")
+            ),
+            iters=6,
+        ),
+        "triangle_count": lambda s, _: graphalgo.triangle_counts(
+            graphalgo.cooccurrence_edges(
+                s.read.parquet(f"{SF_DIR}/documents.parquet")
+            )
+        ),
+    }
+    extras: dict[str, float] = {}
+    for name, fn in extras_fns.items():
+        walls = []
+        for _ in range(BENCH_TRIALS):
+            t0 = time.monotonic()
+            _force(fn(spark, SF_DIR))
+            walls.append(round(time.monotonic() - t0, 3))
+        extras[name] = min(walls)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "total_headline_seconds",
@@ -205,6 +236,7 @@ def run_bench() -> dict:
         "kg_counts": counts,
         "kg_docs_per_sec": round(counts["docs"] / timings["kg_pipeline"], 2),
         "kg_triples_per_sec": round(counts["triples"] / timings["kg_pipeline"], 2),
+        "extra_queries": extras,
         "cpus": CPUS,
     }
     spark.stop()

@@ -904,6 +904,145 @@ def _render_ivf_topk_sql() -> str:
     return _IVF_TOPK_SQL.replace("__CENT_VALUES__", _ivf_trained_cent_values())
 
 
+# near-dup pairs SQL (LSH candidates -> capped buckets -> Jaccard verify)
+# — shared between the near_dup_verified entry and the dup_clusters
+# clustering oracle, which runs transitive closure over the same pairs
+_NEAR_DUP_SQL = f"""
+WITH {_BIGRAM_CTE},
+sig0 AS (
+  SELECT doc_id, band,
+         list_aggregate(
+             list_transform(shingles,
+                            s -> md5(CAST(band AS VARCHAR) || '|' || s)),
+             'min') AS sig
+  FROM sh_list, (SELECT unnest(range({N_MINHASH_BANDS})) AS band) b),
+sig AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bsz FROM sig0) t
+  WHERE bsz <= {MAX_LSH_BUCKET}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id),
+sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh_list),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i_cnt
+  FROM cands c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         ROUND(i_cnt / (sa.n_sh + sb.n_sh - i_cnt), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b) t
+WHERE jaccard >= 0.3
+"""
+
+# token co-occurrence graph (operators/graphalgo.cooccurrence_edges):
+# tokens within 2 positions of each other (first 200 positions per doc),
+# pairs kept iff corpus-wide count >= 3/4 of the max pair count (exact
+# integer compare); `cooc` is canonical (src < dst), `bidir` both
+# directions
+_COOC_CTES = f"""
+tok_arr AS (SELECT doc_id, {_TOK} AS arr FROM documents),
+pos AS (SELECT doc_id, i AS p, arr[i] AS token
+        FROM tok_arr, UNNEST(range(1, least(len(arr), 200) + 1)) AS t(i)),
+pc AS (SELECT least(a.token, b.token) AS src,
+              greatest(a.token, b.token) AS dst, COUNT(*) AS cnt
+       FROM pos a JOIN pos b
+         ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
+       WHERE a.token <> b.token GROUP BY 1, 2),
+mx AS (SELECT MAX(cnt) AS m FROM pc),
+cooc AS (SELECT src, dst FROM pc, mx WHERE 4 * cnt >= 3 * m),
+bidir AS (SELECT src, dst FROM cooc UNION SELECT dst, src FROM cooc)"""
+
+
+def _pagerank_sql(iters: int = 6, scale: int = 10**12) -> str:
+    """Unrolled integer fixed-point PageRank — replays graphalgo.pagerank
+    iteration by iteration. All arithmetic is BIGINT floor division
+    (DuckDB `//` == Spark `div` on positives), so the ranks are
+    bit-identical across engines by construction."""
+    ctes = [
+        f"WITH {_COOC_CTES},",
+        "deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM bidir GROUP BY src),",
+        "cnt AS (SELECT COUNT(*) AS n FROM deg),",
+        f"r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS rank_scaled"
+        " FROM deg CROSS JOIN cnt),",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node,\n"
+            "  CAST(SUM((85 * r.rank_scaled) // (100 * d.outdeg)) AS BIGINT) AS c\n"
+            f"  FROM bidir e JOIN r{i - 1} r ON r.node = e.src\n"
+            "  JOIN deg d ON d.node = e.src GROUP BY e.dst),"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT d.node,\n"
+            f"  CAST((15 * {scale}) // (100 * n) + COALESCE(c.c, 0) AS BIGINT)"
+            " AS rank_scaled\n"
+            f"  FROM deg d CROSS JOIN cnt LEFT JOIN c{i} c ON c.node = d.node),"
+        )
+    body = "\n".join(ctes).rstrip(",") + "\n"
+    return (
+        body
+        + f"SELECT node AS entity, rank_scaled,\n"
+        f"       CAST(rank_scaled AS DOUBLE) / {float(scale)} AS rank\n"
+        f"FROM r{iters}"
+    )
+
+
+_TRIANGLE_SQL = f"""
+WITH {_COOC_CTES},
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM cooc e1
+  JOIN cooc e2 ON e2.src = e1.dst
+  JOIN cooc e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+corners AS (SELECT unnest([a, b, c]) AS node FROM tri),
+pn AS (SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node),
+nodes AS (SELECT DISTINCT src AS node FROM bidir)
+SELECT n.node, CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN pn ON pn.node = n.node
+"""
+
+_BFS_SQL = f"""
+WITH RECURSIVE {_COOC_CTES},
+seed AS (SELECT MIN(src) AS node FROM bidir),
+walk(node, hops) AS (
+  SELECT node, 0 FROM seed
+  UNION
+  SELECT e.dst, w.hops + 1
+  FROM walk w JOIN bidir e ON e.src = w.node
+  WHERE w.hops < 10),
+d AS (SELECT node, MIN(hops) AS hops FROM walk GROUP BY node),
+nodes AS (SELECT DISTINCT src AS node FROM bidir)
+SELECT n.node, CAST(d.hops AS BIGINT) AS hops
+FROM nodes n LEFT JOIN d ON d.node = n.node
+"""
+
+_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_NEAR_DUP_SQL}),
+bid AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM bid
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN bid e ON e.a = r.b),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         FROM reach GROUP BY a),
+allc AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN comp c USING (doc_id)),
+agg AS (SELECT cluster_id, COUNT(*) AS cluster_size
+        FROM allc GROUP BY cluster_id)
+SELECT a.doc_id, a.cluster_id, CAST(g.cluster_size AS BIGINT) AS cluster_size,
+       a.doc_id = a.cluster_id AS is_keeper
+FROM allc a JOIN agg g USING (cluster_id)
+"""
+
+
 def oracle_sql_map() -> dict[str, str]:
     """All oracle SQL, fully rendered. The IVF entry inlines the trained
     codebook replayed from the parity sf dir, so rendering it reads the
@@ -1259,39 +1398,7 @@ SELECT graph_id, m.node_id, text, type, tfidf, hidden,
        COALESCE(out_degree, 0) AS out_degree
 FROM merged m LEFT JOIN deg ON m.node_id = deg.node_id
 """,
-    "near_dup_verified": f"""
-WITH {_BIGRAM_CTE},
-sig0 AS (
-  SELECT doc_id, band,
-         list_aggregate(
-             list_transform(shingles,
-                            s -> md5(CAST(band AS VARCHAR) || '|' || s)),
-             'min') AS sig
-  FROM sh_list, (SELECT unnest(range({N_MINHASH_BANDS})) AS band) b),
-sig AS (
-  SELECT doc_id, band, sig FROM (
-    SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bsz FROM sig0) t
-  WHERE bsz <= {MAX_LSH_BUCKET}),
-cands AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
-  WHERE a.doc_id < b.doc_id),
-sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh_list),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS i_cnt
-  FROM cands c
-  JOIN sh x ON x.doc_id = c.doc_a
-  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
-  GROUP BY c.doc_a, c.doc_b)
-SELECT doc_a, doc_b, jaccard FROM (
-  SELECT doc_a, doc_b,
-         ROUND(i_cnt / (sa.n_sh + sb.n_sh - i_cnt), 6) AS jaccard
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b) t
-WHERE jaccard >= 0.3
-""",
+    "near_dup_verified": _NEAR_DUP_SQL,
     "simhash": simhash_sql("documents"),
     "simhash_near_dup": f"""
 WITH fp AS ({simhash_sql("documents")}),
@@ -1382,4 +1489,9 @@ SELECT doc_id, md5(array_to_string(arr, ' ')) AS content_fp,
        md5(array_to_string(arr[1:8], ' ')) AS prefix_fp
 FROM tok_arr
 """,
+    # ---------------- graph analytics over the KG (registry 54-57) ----------
+    "dup_clusters": _DUP_CLUSTERS_SQL,
+    "entity_pagerank": _pagerank_sql(iters=6),
+    "triangle_count": _TRIANGLE_SQL,
+    "bfs_hops": _BFS_SQL,
 }
