@@ -527,6 +527,51 @@ def ivf_topk(
     )
 
 
+def kmeans_clusters(
+    vectors: DataFrame, n_cells: int = IVF_CELLS, train_iters: int = IVF_TRAIN_ITERS
+) -> DataFrame:
+    """(vec_id, cluster, cluster_size): spherical k-means cluster
+    assignment over the embedding corpus — the curation shape an LLM
+    data pipeline uses for topic balancing / cluster-level filtering,
+    exposed directly rather than only inside the IVF index.
+
+    Reuses the deterministic distributed Lloyd trainer
+    (``train_ivf_centroids``): centroids broadcast, one gemm per Arrow
+    batch for the assignment (map-side, no shuffle), one partial-agg
+    shuffle for the cluster sizes. Assignment ties break to the lowest
+    cell (argmax-first == the oracle's ORDER BY sim DESC, cell ASC), and
+    the batch-invariant contraction makes the assignment — hence the
+    whole row — engine-exact (oracles replay the same trained codebook)."""
+    import numpy as np
+
+    cm = (
+        train_ivf_centroids(vectors, n_cells, train_iters)
+        if train_iters > 0
+        else _seed_centroids(vectors, n_cells)
+    )
+    bc = vectors.sparkSession.sparkContext.broadcast(cm)
+
+    def assign(batches) -> Iterator:
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            a = _sim_batch_invariant(qn, c).argmax(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cluster": a.astype("int64")}
+            )
+
+    assigned = vectors.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cluster long"
+    )
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return assigned.join(sizes, "cluster").select(
+        "vec_id", "cluster", "cluster_size"
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy RNG state — a
     hash-based construction reproducible anywhere)."""

@@ -1043,6 +1043,43 @@ FROM allc a JOIN agg g USING (cluster_id)
 """
 
 
+_HASH_SPLIT_SQL = f"""
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ({_md5_u32_le("CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
+      FROM documents) t
+"""
+
+_KMEANS_CLUSTERS_SQL = """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm FROM v),
+cent(cell, ce) AS (VALUES __CENT_VALUES__),
+sim AS (
+  SELECT v2.vec_id, c.cell,
+         list_dot_product(v2.e, c.ce) / v2.nm AS sim
+  FROM n v2, cent c),
+own AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell ASC) AS rn
+    FROM sim) t
+  WHERE rn = 1),
+sz AS (SELECT cell, COUNT(*) AS cluster_size FROM own GROUP BY cell)
+SELECT o.vec_id, CAST(o.cell AS BIGINT) AS cluster,
+       CAST(sz.cluster_size AS BIGINT) AS cluster_size
+FROM own o JOIN sz USING (cell)"""
+
+
+@lru_cache(maxsize=1)
+def _render_kmeans_clusters_sql() -> str:
+    # same deferred-I/O device as _render_ivf_topk_sql: the trained
+    # codebook is replayed from the parity sf dir at call time
+    return _KMEANS_CLUSTERS_SQL.replace("__CENT_VALUES__", _ivf_trained_cent_values())
+
+
 def _kg_motifs_sql(n_pages: int) -> str:
     """2-hop motif census replayed over the triples SQL (graphalgo.
     motif_census_2hop)."""
@@ -1081,6 +1118,7 @@ def oracle_sql_map() -> dict[str, str]:
     executors), while the driver/parity callers render on first use."""
     m = dict(ORACLES)
     m["ivf_topk"] = _render_ivf_topk_sql()
+    m["kmeans_clusters"] = _render_kmeans_clusters_sql()
     return m
 
 
@@ -1527,4 +1565,7 @@ FROM tok_arr
     # kg_* and streaming_triples entries)
     "kg_motifs": _kg_motifs_sql(200),
     "kg_degrees": _kg_degrees_sql(200),
+    "hash_split": _HASH_SPLIT_SQL,
+    # kmeans_clusters is rendered at call time in oracle_sql_map (the
+    # trained codebook inlines from the parity sf dir, same as ivf_topk)
 }
