@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Corpus-curation launch entrypoint — the end-to-end training-data
+shape: quality gate -> near-dup keeper selection -> (optional)
+deterministic downsample -> stable train/val/test split -> per-split
+parquet.
+
+    cd /root/repo && zip -qr /tmp/ner_app_spark.zip ner_app_spark
+    spark-submit --master local[32] --py-files /tmp/ner_app_spark.zip \
+        jobs/run_curation.py --input /root/testdata/sf0.01/documents.parquet \
+        --output /tmp/curated [--min-quality 0.5] [--min-jaccard 0.3] \
+        [--sample 0.5]
+
+Every stage is deterministic, so re-running the job over the same input
+reproduces the identical curated corpus (and over a GROWN input, every
+previously-kept doc keeps its split — operators/sampling.py). The sink
+is partitioned by split, so downstream training readers scan only their
+partition."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="curated corpus sink dir")
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--min-jaccard", type=float, default=0.3,
+                    help="near-dup verification threshold")
+    ap.add_argument("--sample", type=float, default=None,
+                    help="optional deterministic downsample fraction")
+    args = ap.parse_args()
+
+    from ner_app_spark.operators.graphalgo import dup_clusters
+    from ner_app_spark.operators.sampling import hash_sample, hash_split
+    from ner_app_spark.operators.textquality import quality_score
+    from ner_app_spark.session import get_session
+
+    spark = get_session(app_name="curation")
+    t0 = time.monotonic()
+    docs = spark.read.parquet(args.input)
+    n_input = docs.count()
+
+    # 1. quality gate (cheap, runs first so dedup never hashes junk)
+    q = quality_score(docs).filter(F.col("quality") >= args.min_quality)
+    gated = docs.join(q.select("doc_id"), "doc_id", "left_semi")
+
+    # 2. near-dup keeper selection (LSH -> verify -> CC -> one per cluster)
+    keepers = dup_clusters(gated, min_jaccard=args.min_jaccard).filter(
+        "is_keeper"
+    )
+    kept = gated.join(keepers.select("doc_id"), "doc_id", "left_semi")
+
+    # 3. optional deterministic downsample
+    if args.sample is not None:
+        kept = hash_sample(kept, args.sample)
+
+    # 4. stable split + per-split sink
+    out = kept.join(hash_split(kept).select("doc_id", "split"), "doc_id")
+    out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+
+    back = spark.read.parquet(args.output)
+    by_split = {
+        r["split"]: r["n"]
+        for r in back.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    wall = round(time.monotonic() - t0, 3)
+    print(json.dumps({
+        "wall_sec": wall,
+        "input_docs": n_input,
+        "quality_kept": gated.count(),
+        "dedup_kept": int(sum(by_split.values())) if args.sample is None else None,
+        "written": int(sum(by_split.values())),
+        "by_split": by_split,
+        "docs_per_sec": round(n_input / wall, 2) if wall else None,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -205,3 +205,40 @@ def test_run_takedown_via_spark_submit(pyfiles_zip, tmp_path, spark):
     after, _ = t.scan(spark)
     assert after.count() == N_TRIPLES - n_victim_rows
     assert after.join(victims, "url", "semi").count() == 0
+
+
+def test_run_curation_via_spark_submit(pyfiles_zip, tmp_path, spark):
+    """The curation launch surface: quality gate -> near-dup keepers ->
+    stable split -> per-split parquet, through a real spark-submit. The
+    job is deterministic end-to-end: a second run writes the identical
+    doc_id->split assignment."""
+    outdir = str(tmp_path / "curated")
+    got = _submit(
+        pyfiles_zip, "run_curation.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", outdir,
+    )
+    assert got["written"] == sum(got["by_split"].values())
+    assert 0 < got["written"] <= got["quality_kept"] <= got["input_docs"]
+    assert set(got["by_split"]) <= {"train", "val", "test"}
+    assert got["by_split"]["train"] > got["by_split"].get("val", 0)
+    first = {
+        (r["doc_id"], r["split"])
+        for r in spark.read.parquet(outdir).select("doc_id", "split").collect()
+    }
+    # kept docs are near-dup-free among themselves at the job threshold
+    from ner_app_spark.operators.dedup import near_dup_verified
+
+    kept_docs = spark.read.parquet(outdir)
+    assert near_dup_verified(kept_docs, min_jaccard=0.3).count() == 0
+    got2 = _submit(
+        pyfiles_zip, "run_curation.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", outdir,
+    )
+    assert got2["by_split"] == got["by_split"]
+    second = {
+        (r["doc_id"], r["split"])
+        for r in spark.read.parquet(outdir).select("doc_id", "split").collect()
+    }
+    assert second == first
