@@ -211,11 +211,15 @@ def bfs_hops(edges: DataFrame, max_hops: int = 10) -> DataFrame:
     within ``max_hops``.
 
     Frontier-propagation BFS: round i joins ONLY the newly-reached
-    frontier against the adjacency list (shuffle O(|frontier|), not
-    O(|reached|)), anti-joins out already-seen nodes, and stops early
-    when the frontier empties. The seed is derived in-plan (1-row min
-    aggregate broadcast) — no driver round-trip beyond the loop's
-    emptiness checks, which any iterative driver program needs.
+    frontier against the adjacency list, so the expensive edge-side work
+    is O(neighbors of the frontier), not O(edges incident to everything
+    reached). The seen-set anti-join does reshuffle the (reached-sized)
+    distance table each round — at cluster scale hash-partition `dist`
+    on node once and reuse the partitioning across rounds to make that
+    side shuffle-free. Stops early when the frontier empties. The seed
+    is derived in-plan (1-row min aggregate broadcast) — no driver
+    round-trip beyond the loop's emptiness checks, which any iterative
+    driver program needs.
     """
     bidir = _bidir(edges).localCheckpoint()
     nodes = bidir.select(F.col("src").alias("node")).distinct()
