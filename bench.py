@@ -194,11 +194,21 @@ def run_bench() -> dict:
             walls.append(round(time.monotonic() - t0, 3))
         timings[name] = min(walls)
 
-    # graph-analytics rows (late round 4): reported as EXTRAS, outside
-    # the headline total, so the total stays line-for-line comparable
-    # with BASELINE.md's 16-line series. Raw operators, not the
-    # (memoized) registry wrappers, so every trial re-runs the full job.
-    from ner_app_spark.operators import graphalgo
+    # graph-analytics + curation rows (late round 4): reported as
+    # EXTRAS, outside the headline total, so the total stays
+    # line-for-line comparable with BASELINE.md's 16-line series. Raw
+    # operators, not the (memoized) registry wrappers, so every trial
+    # re-runs the full job (including k-means training).
+    from ner_app_spark.operators import graphalgo, similarity
+    from ner_app_spark.operators.sampling import hash_split
+
+    def _bench_hash_split(s, _):
+        return hash_split(s.read.parquet(f"{SF_DIR}/documents.parquet"))
+
+    def _bench_kmeans(s, _):
+        return similarity.kmeans_clusters(
+            s.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        )
 
     extras_fns: dict[str, object] = {
         "dup_clusters_1k": lambda s, _: graphalgo.dup_clusters(
@@ -215,6 +225,8 @@ def run_bench() -> dict:
                 s.read.parquet(f"{SF_DIR}/documents.parquet")
             )
         ),
+        "hash_split": _bench_hash_split,
+        "kmeans_clusters": _bench_kmeans,
     }
     extras: dict[str, float] = {}
     for name, fn in extras_fns.items():
