@@ -44,17 +44,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB SQL for ALL 61 queries() entries — including the four
-    formerly rows-only kg_* rows (round-4 SQL replays of the analyze,
-    linking, canonicalization, and extract paths), the three
-    Structured Streaming rows (late round 4), whose streaming operators
-    are engineered to be micro-batch-order-independent so a batch SQL
-    oracle is exact for them, the six graph-analytics / KG-query
-    rows (integer fixed-point PageRank / triangles / BFS /
-    dup-clustering / 2-hop motif census / entity degrees, late
-    round 4), and the two training-curation rows (md5 hash-split,
-    trained-k-means cluster assignment). The in-query raise_error
-    self-checks
-    (byte-identity, exact-probe/threshold, CC invariants,
-    payload-recompute) are all KEPT on top of the hash rows."""
+    """DuckDB SQL for ALL 63 queries() entries — including the kg_* SQL
+    replays of the analyze/linking/canonicalization/extract paths, the
+    three Structured Streaming rows (micro-batch-order-independent by
+    construction, so a batch SQL oracle is exact), the graph-analytics
+    rows (integer fixed-point PageRank / triangles / BFS / dup
+    clustering / 2-hop motif census / entity degrees), and the round-5
+    curation rows now inside the driver window (dup_clusters,
+    hash_split, kmeans_clusters, decontaminate, pii_scan — see the
+    rotation note at ner_app_spark/queries.py QUERIES). The in-query
+    raise_error self-checks (byte-identity, exact-probe/threshold, CC
+    invariants, payload-recompute) are all KEPT on top of the hash
+    rows."""
     return oracle_sql_map()

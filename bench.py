@@ -227,6 +227,11 @@ def run_bench() -> dict:
         ),
         "hash_split": _bench_hash_split,
         "kmeans_clusters": _bench_kmeans,
+        # round-5 curation rows (lazy registry wrappers, re-planned per
+        # trial): 13-gram benchmark decontamination against the broadcast
+        # eval dim; email/phone/IPv4 PII lanes + redaction length
+        "decontaminate": QUERIES["decontaminate"],
+        "pii_scan": QUERIES["pii_scan"],
     }
     extras: dict[str, float] = {}
     for name, fn in extras_fns.items():

@@ -1,14 +1,16 @@
 #!/usr/bin/env python
 """Corpus-curation launch entrypoint — the end-to-end training-data
-shape: quality gate -> near-dup keeper selection -> (optional)
-deterministic downsample -> stable train/val/test split -> per-split
-parquet.
+shape: quality + repetition gate -> (optional) benchmark
+decontamination -> (optional) PII redaction -> near-dup keeper
+selection -> (optional) deterministic downsample -> stable
+train/val/test split -> per-split parquet.
 
     cd /root/repo && zip -qr /tmp/ner_app_spark.zip ner_app_spark
     spark-submit --master local[32] --py-files /tmp/ner_app_spark.zip \
         jobs/run_curation.py --input /root/testdata/sf0.01/documents.parquet \
         --output /tmp/curated [--min-quality 0.5] [--min-jaccard 0.3] \
-        [--sample 0.5]
+        [--sample 0.5] [--decontam <eval docs parquet>] [--strip-pii] \
+        [--max-dup-line-frac 0.5] [--max-top2gram-frac 0.5]
 
 Every stage is deterministic, so re-running the job over the same input
 reproduces the identical curated corpus (and over a GROWN input, every
@@ -35,9 +37,22 @@ def main() -> int:
                     help="near-dup verification threshold")
     ap.add_argument("--sample", type=float, default=None,
                     help="optional deterministic downsample fraction")
+    ap.add_argument("--decontam", default=None,
+                    help="eval/benchmark docs parquet: drop training docs "
+                         "sharing a verbatim 13-gram with it")
+    ap.add_argument("--decontam-ngram", type=int, default=13)
+    ap.add_argument("--strip-pii", action="store_true",
+                    help="redact email/phone/IPv4 matches in kept text")
+    ap.add_argument("--max-dup-line-frac", type=float, default=0.5,
+                    help="drop docs whose duplicate-line fraction exceeds this")
+    ap.add_argument("--max-top2gram-frac", type=float, default=0.5,
+                    help="drop docs whose top-2-gram token-mass fraction "
+                         "exceeds this")
     args = ap.parse_args()
 
+    from ner_app_spark.operators.decontam import decontaminate, eval_shingle_dim
     from ner_app_spark.operators.graphalgo import dup_clusters
+    from ner_app_spark.operators.pii import redact_pii
     from ner_app_spark.operators.sampling import hash_sample, hash_split
     from ner_app_spark.operators.textquality import quality_score
     from ner_app_spark.session import get_session
@@ -47,21 +62,42 @@ def main() -> int:
     docs = spark.read.parquet(args.input)
     n_input = docs.count()
 
-    # 1. quality gate (cheap, runs first so dedup never hashes junk)
-    q = quality_score(docs).filter(F.col("quality") >= args.min_quality)
+    # 1. quality + repetition gate (cheap, runs first so dedup never
+    # hashes junk; the Gopher-class repetition signals gate here too)
+    q = quality_score(docs).filter(
+        (F.col("quality") >= args.min_quality)
+        & (F.col("dup_line_frac") <= args.max_dup_line_frac)
+        & (F.col("top2gram_frac") <= args.max_top2gram_frac)
+    )
     gated = docs.join(q.select("doc_id"), "doc_id", "left_semi")
 
-    # 2. near-dup keeper selection (LSH -> verify -> CC -> one per cluster)
+    # 2. optional benchmark decontamination (broadcast eval shingle dim)
+    n_decontaminated = None
+    if args.decontam:
+        ev = eval_shingle_dim(
+            spark.read.parquet(args.decontam), n=args.decontam_ngram
+        )
+        flags = decontaminate(gated, ev, n=args.decontam_ngram)
+        clean_ids = flags.filter(~F.col("contaminated")).select("doc_id")
+        before = gated.count()
+        gated = gated.join(clean_ids, "doc_id", "left_semi")
+        n_decontaminated = before - gated.count()
+
+    # 3. near-dup keeper selection (LSH -> verify -> CC -> one per cluster)
     keepers = dup_clusters(gated, min_jaccard=args.min_jaccard).filter(
         "is_keeper"
     )
     kept = gated.join(keepers.select("doc_id"), "doc_id", "left_semi")
 
-    # 3. optional deterministic downsample
+    # 4. optional deterministic downsample
     if args.sample is not None:
         kept = hash_sample(kept, args.sample)
 
-    # 4. stable split + per-split sink
+    # 5. optional PII redaction of the surviving text
+    if args.strip_pii:
+        kept = redact_pii(kept)
+
+    # 6. stable split + per-split sink
     out = kept.join(hash_split(kept).select("doc_id", "split"), "doc_id")
     out.write.mode("overwrite").partitionBy("split").parquet(args.output)
 
@@ -74,6 +110,7 @@ def main() -> int:
     print(json.dumps({
         "wall_sec": wall,
         "input_docs": n_input,
+        "decontam_dropped": n_decontaminated,
         "quality_kept": gated.count(),
         "dedup_kept": int(sum(by_split.values())) if args.sample is None else None,
         "written": int(sum(by_split.values())),

@@ -236,6 +236,46 @@ def _decode_mp4_header(payload: bytes) -> dict | None:
     }
 
 
+_JPEG_SOF_MARKERS = {0xC0, 0xC1, 0xC2, 0xC3}  # baseline..lossless SOF
+_JPEG_STANDALONE = set(range(0xD0, 0xD8)) | {0x01}  # RSTn, TEM: no length
+
+
+def _decode_jpeg_header(payload: bytes) -> dict | None:
+    """Real (dependency-free) JPEG decode: SOI gate, then the standard
+    marker walk (2-byte big-endian segment lengths; RSTn/TEM stand-alone
+    markers and FF fill bytes skipped per the spec) to the first SOFn
+    frame header, whose payload is [precision u8][height u16][width u16].
+    Returns None if not a JPEG, if the walk runs off a malformed stream,
+    or if entropy data (SOS) / EOI arrives before any SOF."""
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
+        if marker in _JPEG_STANDALONE:
+            pos += 2
+            continue
+        if marker in (0xD8, 0xD9, 0xDA):  # second SOI / EOI / SOS: no SOF seen
+            return None
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seglen < 2 or pos + 2 + seglen > len(payload):
+            return None
+        if marker in _JPEG_SOF_MARKERS:
+            if seglen < 7:
+                return None
+            h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            if w == 0 or h == 0:
+                return None
+            return {"width": w, "height": h, "n_frames": 1}
+        pos += 2 + seglen
+    return None
+
+
 _BMP_DIB_SIZES = {40, 52, 56, 108, 124}  # INFOHEADER..V5: same dim layout
 
 
@@ -283,6 +323,7 @@ def _decode_stub(payload: bytes, kind: str) -> dict:
         or _decode_wav_header(payload)
         or _decode_gif_header(payload)
         or _decode_bmp_header(payload)
+        or _decode_jpeg_header(payload)
         or _decode_mp4_header(payload)
     )
     if real is not None:
@@ -384,6 +425,24 @@ def synth_gif(width: int, height: int, n_frames: int = 1) -> bytes:
     return out + b"\x3b"
 
 
+def synth_jpeg(width: int, height: int) -> bytes:
+    """Minimal deterministic JFIF JPEG: SOI + APP0(JFIF 1.1) + SOF0
+    (baseline, 3 components) + EOI. Canonical fixed layout — SOI(2)
+    APP0(2+16) puts the SOF0 marker at byte offset 20, so height/width
+    sit at the constant 1-based byte positions 26/28 the in-query SQL
+    recheck and the DuckDB oracle read (same device as the WAV/MP4
+    fixtures); the Python decoder walks the markers for real."""
+    app0 = (
+        struct.pack(">H", 16) + b"JFIF\x00" + b"\x01\x01" + b"\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    sof0 = (
+        struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", height, width)
+        + b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    )
+    return b"\xff\xd8" + b"\xff\xe0" + app0 + b"\xff\xc0" + sof0 + b"\xff\xd9"
+
+
 def synth_bmp(width: int, height: int) -> bytes:
     """Minimal deterministic BMP: BITMAPFILEHEADER + BITMAPINFOHEADER
     (pixel data omitted — header-only fixture, like the PNG)."""
@@ -431,7 +490,8 @@ def synth_mp4(width: int, height: int, n_frames: int) -> bytes:
 
 def synth_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
     """Deterministic media fixture rows (media_id, kind, payload, mime):
-    images alternate REAL PNG and REAL BMP headers, every other audio is
+    even images alternate REAL PNG and REAL BMP headers, half the odd
+    images are REAL JFIF JPEGs (marker-walked), every other audio is
     a REAL WAV (RIFF-parsed), every other video alternates a REAL
     multi-frame GIF (block-walked) and a REAL MP4 (ISO-BMFF box tree);
     the rest stay opaque fakes so the md5 stub lane is exercised too.
@@ -447,6 +507,8 @@ def synth_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
                 payload, mime = synth_png(32 + i, 16 + i, trailer=opaque), "image/png"
             else:
                 payload, mime = synth_bmp(24 + i, 12 + i), "image/bmp"
+        elif kind == "image" and i % 4 == 1:
+            payload, mime = synth_jpeg(31 + i, 17 + i), "image/jpeg"
         elif kind == "audio" and i % 2 == 1:
             payload, mime = synth_wav(100 + i * 7), "audio/wav"
         elif kind == "video" and i % 2 == 0:

@@ -14,6 +14,9 @@ from __future__ import annotations
 from functools import lru_cache
 
 from .operators.dedup import MAX_LSH_BUCKET, N_MINHASH_BANDS, simhash_sql
+from .operators.pii import EMAIL_RE as PII_EMAIL_RE
+from .operators.pii import IPV4_RE as PII_IPV4_RE
+from .operators.pii import PHONE_RE as PII_PHONE_RE
 from .operators.search import SEARCH_QUERY, SENT_QUERY, query_tokens
 from .operators.textquality import LANG_MARKERS, STOPWORDS
 from .operators.tfidf import TOKEN_SQL_RE
@@ -652,7 +655,8 @@ def _multimodal_sql(n: int = 64) -> str:
     inlined as lowercase hex VALUES and every decode lane is recomputed
     ENGINE-SIDE by hex-string arithmetic — PNG IHDR big-endian dims, GIF
     logical-screen LE dims + fixture frame stride, BMP InfoHeader, WAV
-    data/block_align quotient, MP4 tkhd/stsz fields at the fixture's
+    data/block_align quotient, JPEG SOF0 big-endian dims at the JFIF
+    fixture's canonical offsets, MP4 tkhd/stsz fields at the fixture's
     canonical box offsets, md5-derived dims for the opaque lane, and
     all FEATURE_DIM md5 feature lanes (u32-LE of md5(payload || i),
     scaled, float32-narrowed). DuckDB's md5() only hashes VARCHAR, so the
@@ -691,6 +695,7 @@ flags AS (
     substr(hp, 1, 12) IN ('474946383761', '474946383961') AS is_gif,
     substr(hp, 1, 4) = '424d'
       AND {_hex_le('hp', 15, 4)} IN (40, 52, 56, 108, 124) AS is_bmp,
+    substr(hp, 1, 8) = 'ffd8ffe0' AND substr(hp, 41, 4) = 'ffc0' AS is_jpeg,
     substr(hp, 9, 8) = '66747970' AS is_mp4,
     length(hp) // 2 AS plen
   FROM media),
@@ -700,18 +705,21 @@ dims AS (
          WHEN is_wav THEN NULL
          WHEN is_gif THEN {_hex_le('hp', 7, 2)}
          WHEN is_bmp THEN {_hex_le('hp', 19, 4)}
+         WHEN is_jpeg THEN {_hex_be16('hp', 28)}
          WHEN is_mp4 THEN {_hex_be16('hp', 225)}
          ELSE 64 + {_hexbyte('mh', 1)} % 192 END AS width,
     CASE WHEN is_png THEN {_hex_be32('hp', 21)}
          WHEN is_wav THEN NULL
          WHEN is_gif THEN {_hex_le('hp', 9, 2)}
          WHEN is_bmp THEN {_hex_le('hp', 23, 4)}
+         WHEN is_jpeg THEN {_hex_be16('hp', 26)}
          WHEN is_mp4 THEN {_hex_be16('hp', 229)}
          ELSE 64 + {_hexbyte('mh', 2)} % 192 END AS height,
     CASE WHEN is_png THEN 1
          WHEN is_wav THEN {_hex_le('hp', 41, 4)} // {_hex_le('hp', 33, 2)}
          WHEN is_gif THEN (plen - 14) // 23
          WHEN is_bmp THEN 1
+         WHEN is_jpeg THEN 1
          WHEN is_mp4 THEN {_hex_be32('hp', 306)}
          WHEN kind = 'image' THEN 1
          ELSE 1 + {_hexbyte('mh', 3)} % 32 END AS n_frames
@@ -942,14 +950,15 @@ WHERE jaccard >= 0.3
 """
 
 # token co-occurrence graph (operators/graphalgo.cooccurrence_edges):
-# tokens within 2 positions of each other (first 200 positions per doc),
-# pairs kept iff corpus-wide count >= 3/4 of the max pair count (exact
-# integer compare); `cooc` is canonical (src < dst), `bidir` both
-# directions
+# tokens within 2 positions of each other (ALL positions — round 5
+# dropped the former 200-position cap along with the quadratic
+# candidate join it guarded), pairs kept iff corpus-wide count >= 3/4
+# of the max pair count (exact integer compare); `cooc` is canonical
+# (src < dst), `bidir` both directions
 _COOC_CTES = f"""
 tok_arr AS (SELECT doc_id, {_TOK} AS arr FROM documents),
 pos AS (SELECT doc_id, i AS p, arr[i] AS token
-        FROM tok_arr, UNNEST(range(1, least(len(arr), 200) + 1)) AS t(i)),
+        FROM tok_arr, UNNEST(range(1, len(arr) + 1)) AS t(i)),
 pc AS (SELECT least(a.token, b.token) AS src,
               greatest(a.token, b.token) AS dst, COUNT(*) AS cnt
        FROM pos a JOIN pos b
@@ -1538,23 +1547,81 @@ stops AS (
   SELECT doc_id,
          SUM(CASE WHEN token IN ({", ".join(f"'{s}'" for s in STOPWORDS)}) THEN 1 ELSE 0 END) AS n_stop,
          SUM(length(token)) AS token_chars
-  FROM tok GROUP BY doc_id)
+  FROM tok GROUP BY doc_id),
+lines AS (
+  SELECT doc_id, COUNT(*) AS n_lines, COUNT(DISTINCT line) AS n_uniq_lines
+  FROM (SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
+        FROM documents) t
+  WHERE line <> '' GROUP BY doc_id),
+top2 AS (
+  SELECT doc_id, MAX(c) AS max2 FROM (
+    SELECT doc_id, sh, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(shingles) AS sh
+          FROM (SELECT doc_id, list_transform(range(1, len({_TOK})),
+                       i -> {_TOK}[i] || ' ' || {_TOK}[i + 1]) AS shingles
+                FROM documents WHERE len({_TOK}) >= 2) s) u
+    GROUP BY doc_id, sh) v
+  GROUP BY doc_id)
 SELECT b.doc_id AS doc_id, n_chars, n_tokens,
        ROUND(CASE WHEN n_tokens > 0 THEN COALESCE(token_chars, 0) / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
        ROUND(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
        ROUND(CASE WHEN n_tokens > 0 THEN COALESCE(n_stop, 0) / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+       ROUND(CASE WHEN n_lines > 0 THEN 1.0 - n_uniq_lines / n_lines ELSE 0.0 END, 6) AS dup_line_frac,
+       ROUND(CASE WHEN max2 IS NOT NULL AND n_tokens > 0
+                  THEN least(2 * max2 / n_tokens, 1.0) ELSE 0.0 END, 6) AS top2gram_frac,
        ROUND(
          least(n_tokens / 50.0, 1.0) * 0.5
          + CASE WHEN n_tokens > 0 THEN COALESCE(n_stop, 0) / n_tokens ELSE 0.0 END * 0.3
          + (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0)) * 0.2,
          6) AS quality
 FROM base b LEFT JOIN stops USING (doc_id)
+LEFT JOIN lines USING (doc_id) LEFT JOIN top2 USING (doc_id)
 """,
     "fingerprint": f"""
 WITH tok_arr AS (SELECT doc_id, {_TOK} AS arr FROM documents)
 SELECT doc_id, md5(array_to_string(arr, ' ')) AS content_fp,
        md5(array_to_string(arr[1:8], ' ')) AS prefix_fp
 FROM tok_arr
+""",
+    # benchmark decontamination (operators/decontam.py): 13-gram verbatim
+    # collision of every non-eval doc against the doc_id % 20 == 0 slice
+    "decontaminate": f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS arr FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(arr[i:i+12], ' ') AS sh
+       FROM tok, UNNEST(range(1, len(arr) - 11)) t(i)),
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+hits AS (SELECT s.doc_id, COUNT(*) AS n FROM sh s JOIN ev USING (sh)
+         WHERE s.doc_id % 20 <> 0 GROUP BY s.doc_id)
+SELECT d.doc_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_collisions,
+       COALESCE(n, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+WHERE d.doc_id % 20 <> 0
+""",
+    # PII lanes (operators/pii.py) over the deterministically PII-seeded
+    # corpus derivation (queries._pii_injected_docs builds the same text);
+    # patterns are backslash- and quote-free so the literal is byte-
+    # identical across both engines' string parsers
+    "pii_scan": f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call +15550' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25 up' ELSE '' END
+         AS text
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+       (len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+        + len(regexp_extract_all(text, '{PII_PHONE_RE}'))
+        + len(regexp_extract_all(text, '{PII_IPV4_RE}'))) > 0 AS has_pii,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+            '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+            '{PII_PHONE_RE}', '[PHONE]', 'g'),
+            '{PII_IPV4_RE}', '[IP]', 'g')) AS BIGINT) AS n_chars_redacted
+FROM injected
 """,
     # ---------------- graph analytics over the KG (registry 54-57) ----------
     "dup_clusters": _DUP_CLUSTERS_SQL,

@@ -195,3 +195,37 @@ def test_new_rows_plan_invariants(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    out = graphalgo.pagerank(_edges(spark, []))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["entity", "rank_scaled", "rank"]
+
+
+def test_derive_pr_scale_bounds():
+    # default scale up to 10^6 nodes, then one extra digit per decade,
+    # capped where 85*scale would leave int64
+    assert graphalgo._derive_pr_scale(1) == graphalgo.PR_SCALE
+    assert graphalgo._derive_pr_scale(10**6) == graphalgo.PR_SCALE
+    assert graphalgo._derive_pr_scale(10**7) == 10**13
+    assert graphalgo._derive_pr_scale(10**9) == 10**15
+    assert graphalgo._derive_pr_scale(10**12) == 10**17  # the brief's scale
+    assert graphalgo._derive_pr_scale(10**15) == 10**17  # capped, never wraps
+    for n in (1, 10**7, 10**12, 10**15):
+        assert 85 * graphalgo._derive_pr_scale(n) < (1 << 63)
+
+
+def test_pagerank_explicit_overflowing_scale_raises(spark):
+    with pytest.raises(ValueError, match="overflow"):
+        graphalgo.pagerank(_edges(spark, [("a", "b")]), iters=1, scale=10**18)
+
+
+def test_pagerank_derived_scale_preserves_mass(spark):
+    # explicit larger scale: mass ~ scale (the invariant the int64-safety
+    # argument rests on), and the (node-count-derived) default matches the
+    # explicit PR_SCALE run ranking exactly on a small graph
+    cyc = [("a", "b"), ("b", "c"), ("c", "a")]
+    rows = graphalgo.pagerank(_edges(spark, cyc), iters=3, scale=10**15).collect()
+    total = sum(r["rank_scaled"] for r in rows)
+    assert 10**15 * 0.999 < total <= 10**15

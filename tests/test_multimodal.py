@@ -206,3 +206,58 @@ def test_frame_sample_survives_zero_frame_payload(spark):
     )
     rows = frame_sample(media, every_n=1).collect()
     assert sorted(r.media_id for r in rows) == [1, 1, 1]
+
+
+def test_jpeg_header_parse():
+    from ner_app_spark.operators.multimodal import _decode_jpeg_header, synth_jpeg
+
+    assert _decode_jpeg_header(synth_jpeg(800, 600)) == {
+        "width": 800, "height": 600, "n_frames": 1,
+    }
+    # marker WALK, not a fixed offset: insert an extra COM segment before
+    # SOF0 and the decoder must still find the dims
+    j = synth_jpeg(33, 44)
+    com = b"\xff\xfe" + (2 + 5).to_bytes(2, "big") + b"hello"
+    shifted = j[:2] + com + j[2:]
+    assert _decode_jpeg_header(shifted) == {"width": 33, "height": 44, "n_frames": 1}
+    # not a JPEG / truncated / SOS before SOF / zero dims -> stub lane
+    assert _decode_jpeg_header(b"not jpeg") is None
+    assert _decode_jpeg_header(synth_jpeg(8, 8)[:10]) is None
+    sos_first = b"\xff\xd8" + b"\xff\xda" + (4).to_bytes(2, "big") + b"\x00\x00"
+    assert _decode_jpeg_header(sos_first) is None
+    assert _decode_jpeg_header(synth_jpeg(0, 5)) is None
+
+
+def test_jpeg_parser_fuzz_never_crashes():
+    """Adversarial byte-flips over a valid JPEG must either parse to the
+    same layout-independent fields or return None — never raise."""
+    import hashlib as _hl
+
+    from ner_app_spark.operators.multimodal import _decode_jpeg_header, synth_jpeg
+
+    base = bytearray(synth_jpeg(100, 50))
+    for trial in range(300):
+        h = _hl.md5(f"jpegfuzz:{trial}".encode()).digest()
+        mut = bytearray(base)
+        for k in range(1 + h[0] % 4):
+            pos = int.from_bytes(h[4 * k : 4 * k + 2], "little") % len(mut)
+            mut[pos] ^= h[4 * k + 2] or 1
+        out = _decode_jpeg_header(bytes(mut))
+        assert out is None or (
+            isinstance(out.get("width"), int) and out["n_frames"] == 1
+        )
+    # truncations at every length
+    for cut in range(len(base)):
+        out = _decode_jpeg_header(bytes(base[:cut]))
+        assert out is None or isinstance(out.get("width"), int)
+
+
+def test_jpeg_fixture_lane_in_distributed_decode(spark):
+    # media_id 9: image with i%2==1, i%4==1 -> real JFIF JPEG (31+9, 17+9)
+    media = synth_media_df(spark, 12)
+    feats = {r["media_id"]: r for r in decode_features(media).collect()}
+    assert (feats[9]["width"], feats[9]["height"], feats[9]["n_frames"]) == (40, 26, 1)
+    # media_id 3: image with i%4==3 stays on the md5 stub lane
+    payload = hashlib.md5(b"42:3").digest() * (4 + 3 % 7)
+    h = hashlib.md5(payload).digest()
+    assert feats[3]["width"] == 64 + h[0] % 192

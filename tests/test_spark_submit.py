@@ -242,3 +242,36 @@ def test_run_curation_via_spark_submit(pyfiles_zip, tmp_path, spark):
         for r in spark.read.parquet(outdir).select("doc_id", "split").collect()
     }
     assert second == first
+
+
+def test_run_curation_decontam_and_pii_flags(pyfiles_zip, tmp_path, spark):
+    """Round-5 flags: --decontam drops every training doc sharing a
+    verbatim 13-gram with the eval parquet (including corpus docs that
+    ARE eval docs — the strictest correct behavior), --strip-pii runs
+    the redaction lanes over the kept text (a no-op on this PII-free
+    corpus, asserted byte-for-byte)."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    evdir = str(tmp_path / "evalset")
+    docs = spark.read.parquet(src)
+    from pyspark.sql import functions as F
+
+    docs.filter(F.col("doc_id") < 10).write.parquet(evdir)
+
+    outdir = str(tmp_path / "curated_decontam")
+    got = _submit(
+        pyfiles_zip, "run_curation.py",
+        "--input", src, "--output", outdir,
+        "--decontam", evdir, "--strip-pii",
+    )
+    assert got["decontam_dropped"] is not None and got["decontam_dropped"] >= 1
+    kept = spark.read.parquet(outdir)
+    # no kept doc shares a 13-gram with the eval set
+    from ner_app_spark.operators.decontam import decontaminate, eval_shingle_dim
+
+    flags = decontaminate(kept, eval_shingle_dim(spark.read.parquet(evdir)))
+    assert flags.filter("contaminated").count() == 0
+    # --strip-pii preserved the (PII-free) text byte-for-byte
+    joined = kept.select("doc_id", F.col("text").alias("t2")).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    assert joined.filter(F.col("t2") != F.col("text")).count() == 0
