@@ -199,8 +199,12 @@ def run_bench() -> dict:
     # line-for-line comparable with BASELINE.md's 16-line series. Raw
     # operators, not the (memoized) registry wrappers, so every trial
     # re-runs the full job (including k-means training).
-    from ner_app_spark.operators import graphalgo, similarity
+    from ner_app_spark.operators import graphalgo, similarity, webgraph
     from ner_app_spark.operators.sampling import hash_split
+    from ner_app_spark.sources.pages import synth_pages_df as _spdf
+
+    def _synth_pages(s):
+        return _spdf(s, n_pages)
 
     def _bench_hash_split(s, _):
         return hash_split(s.read.parquet(f"{SF_DIR}/documents.parquet"))
@@ -232,6 +236,13 @@ def run_bench() -> dict:
         # eval dim; email/phone/IPv4 PII lanes + redaction length
         "decontaminate": QUERIES["decontaminate"],
         "pii_scan": QUERIES["pii_scan"],
+        # host-level web link graph over the same page count as
+        # kg_pipeline: codegen href/host extraction + weighted edge agg,
+        # then 6 directed fixed-point PageRank iterations over the hosts
+        "host_link_edges": lambda s, _: webgraph.host_edges(_synth_pages(s)),
+        "host_pagerank": lambda s, _: webgraph.host_pagerank(
+            _synth_pages(s), iters=6
+        ),
     }
     extras: dict[str, float] = {}
     for name, fn in extras_fns.items():

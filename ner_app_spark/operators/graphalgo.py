@@ -153,10 +153,13 @@ def pagerank(
     workdir: str | None = None,
     n_parts: int = 16,
     metrics_out: list | None = None,
+    directed: bool = False,
 ) -> DataFrame:
-    """Fixed-iteration PageRank (damping 0.85) over the undirected graph,
-    in integer fixed-point: returns (node, rank_scaled long, rank double)
-    where rank = rank_scaled / scale.
+    """Fixed-iteration PageRank (damping 0.85) over the undirected graph
+    (or the directed edge set as-is with ``directed=True`` — the web
+    link-graph mode, operators/webgraph.py), in integer fixed-point:
+    returns (node, rank_scaled long, rank double) where
+    rank = rank_scaled / scale.
 
     Every arithmetic step is exact long math (``div`` = floor division on
     positives), so the result is engine-independent: DuckDB replaying the
@@ -186,16 +189,39 @@ def pagerank(
     manifest committed replay with zero recompute
     (tests/test_checkpoint_resume.py). In an undirected graph every
     node has out-degree >= 1, so there is no dangling-mass term.
+
+    ``directed=True`` keeps edge direction (self-loops dropped, multi-
+    edges collapsed): rank flows src -> dst only, and the node set is
+    src UNION dst. A node with no outlinks (dangling) receives the
+    teleport base plus in-contributions but propagates nothing — the
+    standard "evaporating dangling mass" simplification (no global
+    dangling-sum redistribution term), pinned identically in the SQL
+    replay (oracles._pagerank_sql(directed=True)) so the row stays
+    hash-verifiable.
     """
     persist = _persister(workdir, n_parts, metrics_out)
-    # one materialization of the bidirectional edge list; degree, the
-    # pre-joined edge input, and the node dimension all derive from it
-    # (round-4 ADVICE: nodes/deg must not re-plan the upstream edge
-    # construction at every barrier)
-    bidir = persist(_bidir(edges), "pr_bidir", "src")
-    deg = bidir.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ed = persist(bidir.join(deg, "src"), "pr_edges", "src")
-    nodes = ed.select(F.col("src").alias("node")).distinct()
+    # one materialization of the (bidirectional | deduped directed) edge
+    # list; degree, the pre-joined edge input, and the node dimension all
+    # derive from it (round-4 ADVICE: nodes/deg must not re-plan the
+    # upstream edge construction at every barrier)
+    if directed:
+        base_edges = persist(
+            edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct(),
+            "pr_dedges",
+            "src",
+        )
+        nodes = (
+            base_edges.select(F.col("src").alias("node"))
+            .union(base_edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    else:
+        base_edges = persist(_bidir(edges), "pr_bidir", "src")
+        nodes = base_edges.select(F.col("src").alias("node")).distinct()
+    deg = base_edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = persist(base_edges.join(deg, "src"), "pr_edges", "src")
     n = nodes.count()
     if n == 0:
         return edges.sparkSession.createDataFrame(

@@ -1003,6 +1003,93 @@ def _pagerank_sql(iters: int = 6, scale: int = 10**12) -> str:
     )
 
 
+def _host_edge_ctes(n_pages: int) -> str:
+    """Host-level link-graph CTEs replaying operators/webgraph.host_edges:
+    the synth pages' (url, html) inlined as VALUES, anchor hrefs pulled
+    with the SAME backslash-free regex the Spark side compiles
+    (webgraph.HREF_RE / HOST_RE), self-host edges dropped, multiplicity
+    kept as n_links."""
+    from .synth import synth_pages
+
+    vals = ",\n".join(
+        f"({_sql_lit(p['url'])}, {_sql_lit(p['html'].decode('utf-8'))})"
+        for p in synth_pages(n_pages)
+    )
+    return f"""rawpages(url, html) AS (VALUES {vals}),
+hl AS (SELECT url AS src_url,
+              unnest(regexp_extract_all(html, '<a href="(https?://[^"]+)"', 1)) AS href
+       FROM rawpages),
+hh AS (SELECT regexp_extract(src_url, 'https?://([^/]+)', 1) AS src,
+              regexp_extract(href, 'https?://([^/]+)', 1) AS dst
+       FROM hl),
+hedge AS (SELECT src, dst, COUNT(*) AS n_links FROM hh
+          WHERE src <> dst GROUP BY src, dst)"""
+
+
+def _warc_roundtrip_sql(n_pages: int) -> str:
+    """q_warc_roundtrip replayed: the expected per-url html BYTE length
+    (strlen = octets in DuckDB; the html is multi-byte UTF-8) and lang
+    from the inlined synth rows; byte_identical pinned TRUE — the Spark
+    side computes it from the actual WARC read-back, so parse drift
+    hash-mismatches."""
+    from .synth import synth_pages
+
+    vals = ",\n".join(
+        f"({_sql_lit(p['url'])}, {_sql_lit(p['html'].decode('utf-8'))},"
+        f" {_sql_lit(p['lang'])})"
+        for p in synth_pages(n_pages)
+    )
+    return f"""
+WITH rawpages(url, html, lang) AS (VALUES {vals})
+SELECT url, CAST(strlen(html) AS BIGINT) AS n_html_bytes, lang,
+       TRUE AS byte_identical, CAST(1 AS INTEGER) AS "check"
+FROM rawpages"""
+
+
+def _host_edges_sql(n_pages: int) -> str:
+    return (
+        f"WITH {_host_edge_ctes(n_pages)}\n"
+        "SELECT src, dst, CAST(n_links AS BIGINT) AS n_links FROM hedge"
+    )
+
+
+def _host_pagerank_sql(n_pages: int, iters: int = 6, scale: int = 10**12) -> str:
+    """Directed integer fixed-point PageRank over the host graph —
+    replays graphalgo.pagerank(directed=True) iteration by iteration:
+    node set = src UNION dst, rank flows along edge direction only, and
+    dangling hosts (no outlinks) receive base + in-contributions but
+    propagate nothing (the pinned evaporating-dangling-mass semantics)."""
+    ctes = [
+        f"WITH {_host_edge_ctes(n_pages)},",
+        "dedges AS (SELECT DISTINCT src, dst FROM hedge),",
+        "deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM dedges GROUP BY src),",
+        "nodes AS (SELECT src AS node FROM dedges UNION SELECT dst FROM dedges),",
+        "cnt AS (SELECT COUNT(*) AS n FROM nodes),",
+        f"r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS rank_scaled"
+        " FROM nodes CROSS JOIN cnt),",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node,\n"
+            "  CAST(SUM((85 * r.rank_scaled) // (100 * d.outdeg)) AS BIGINT) AS c\n"
+            f"  FROM dedges e JOIN r{i - 1} r ON r.node = e.src\n"
+            "  JOIN deg d ON d.node = e.src GROUP BY e.dst),"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nd.node,\n"
+            f"  CAST((15 * {scale}) // (100 * n) + COALESCE(c.c, 0) AS BIGINT)"
+            " AS rank_scaled\n"
+            f"  FROM nodes nd CROSS JOIN cnt LEFT JOIN c{i} c ON c.node = nd.node),"
+        )
+    body = "\n".join(ctes).rstrip(",") + "\n"
+    return (
+        body
+        + f"SELECT node AS host, rank_scaled,\n"
+        f"       CAST(rank_scaled AS DOUBLE) / {float(scale)} AS rank\n"
+        f"FROM r{iters}"
+    )
+
+
 _TRIANGLE_SQL = f"""
 WITH {_COOC_CTES},
 tri AS (
@@ -1633,6 +1720,11 @@ FROM injected
     "kg_motifs": _kg_motifs_sql(200),
     "kg_degrees": _kg_degrees_sql(200),
     "hash_split": _HASH_SPLIT_SQL,
+    # ---------------- host-level web link graph (operators/webgraph.py) -----
+    # driver/parity sf0.01 -> 200 synth pages, same convention as kg_*
+    "host_link_edges": _host_edges_sql(200),
+    "host_pagerank": _host_pagerank_sql(200, iters=6),
+    "warc_roundtrip": _warc_roundtrip_sql(200),
     # kmeans_clusters is rendered at call time in oracle_sql_map (the
     # trained codebook inlines from the parity sf dir, same as ivf_topk)
 }

@@ -19,7 +19,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import dedup, graph, graphalgo, search, similarity, textquality, tfidf
+from .operators import (
+    dedup,
+    graph,
+    graphalgo,
+    search,
+    similarity,
+    textquality,
+    tfidf,
+    webgraph,
+)
 from .operators.components import canonicalize
 from .operators.extract import extract_phrases, extracted_text
 from .operators.linking import link_mentions
@@ -1220,13 +1229,92 @@ def q_kg_degrees(spark, sf_dir):
     return graphalgo.entity_degrees(emit_triples(phrases, morphology_df(spark)))
 
 
+def q_host_link_edges(spark, sf_dir):
+    # host-level web link graph from the pages' raw html — pure codegen
+    # href/host regex extraction + one partial-agg shuffle, no UDF
+    return webgraph.host_edges(_pages_for(spark, sf_dir)).select(
+        "src", "dst", F.col("n_links").cast("long").alias("n_links")
+    )
+
+
+def q_host_pagerank(spark, sf_dir):
+    # directed integer fixed-point PageRank over the host link graph —
+    # the crawl-importance prior; eager (barrier localCheckpoints) ->
+    # memoized like entity_pagerank
+    return webgraph.host_pagerank(_pages_for(spark, sf_dir), iters=6)
+
+
+@_eager_once
+def q_warc_roundtrip(spark, sf_dir):
+    """Common-Crawl WARC ingestion check (sources/warc.py): the synth
+    pages serialized as per-record-gzip WARC response records across 4
+    segment files, read back via the binaryFile + mapInPandas reader,
+    and compared field-by-field (html BYTES, warc_ts, lang) against the
+    distributed synth source. byte_identical is computed Spark-side from
+    the actual read-back bytes — the oracle pins it TRUE plus the
+    expected per-url byte length, so any parse drift goes red. Eager:
+    the WARC fixture is written to a mkdtemp removed before returning
+    (same protocol as checkpoint_resume)."""
+    import shutil
+    import tempfile
+
+    from .session import local_df
+    from .sources.warc import read_warc, write_warc
+    from .synth import synth_pages
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = {"0.001": 60, "0.01": 200, "0.1": 400}.get(sf, 100)
+    rows = synth_pages(n)
+    wd = tempfile.mkdtemp(prefix="ner_app_spark_warc_")
+    try:
+        for k in range(4):  # 4 segment files -> file-level parallelism
+            write_warc(f"{wd}/seg{k}.warc.gz", rows[k::4])
+        exp = synth_pages_df(spark, n).select(
+            "url",
+            F.col("html").alias("html_exp"),
+            F.col("lang").alias("lang_exp"),
+            F.col("warc_ts").alias("ts_exp"),
+        )
+        out = (
+            read_warc(spark, wd)
+            .join(exp, "url")
+            .select(
+                "url",
+                F.length("html").cast("long").alias("n_html_bytes"),
+                "lang",
+                (
+                    (F.col("html") == F.col("html_exp"))
+                    & (F.col("lang") == F.col("lang_exp"))
+                    & (F.col("warc_ts") == F.col("ts_exp"))
+                ).alias("byte_identical"),
+            )
+            .withColumn(
+                "check",
+                _check_col(
+                    F.col("byte_identical"),
+                    "warc_roundtrip: WARC read-back differs from source",
+                ),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return local_df(
+        spark,
+        [tuple(r) for r in out],
+        "url string, n_html_bytes long, lang string,"
+        " byte_identical boolean, check int",
+    )
+
+
 q_dup_clusters = _eager_once(q_dup_clusters)
 q_entity_pagerank = _eager_once(q_entity_pagerank)
 q_bfs_hops = _eager_once(q_bfs_hops)
 q_kmeans_clusters = _eager_once(q_kmeans_clusters)
+q_host_pagerank = _eager_once(q_host_pagerank)
 
 
-# 63 entries, the FIRST 50 of which are the driver-evaluated window: the
+# 66 entries, the FIRST 50 of which are the driver-evaluated window: the
 # parity driver evaluates at most 50 registry entries (round-1 evidence:
 # CORRECTNESS_r01 recorded precisely the first 50 of 53, dict order), so
 # every SURVEY §2 operator row is budgeted into positions 1-50.
@@ -1333,4 +1421,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "jaccard_pairs": q_jaccard_pairs,
     "simhash": q_simhash,
+    "host_link_edges": q_host_link_edges,
+    "host_pagerank": q_host_pagerank,
+    "warc_roundtrip": q_warc_roundtrip,
 }

@@ -81,17 +81,41 @@ def _make_paragraph(rng: random.Random, surfaces: list[str], weights: list[float
     return " ".join(out)
 
 
-def _make_html(url: str, paragraphs: list[str]) -> bytes:
+def _make_html(
+    url: str, paragraphs: list[str], outlinks: list[str] | None = None
+) -> bytes:
     body = "\n".join(f"<p>{html_mod.escape(p, quote=False)}</p>" for p in paragraphs)
+    footer = "".join(
+        f'<a href="{u}">ref{k}</a> ' for k, u in enumerate(outlinks or [])
+    )
     page = (
         "<html><head><title>"
         + html_mod.escape(url, quote=False)
         + "</title><style>body{font-size:1em;color:#222}</style></head><body>"
         + '<nav><a href="/">home</a> | <a href="/about">about</a></nav>\n'
         + body
+        + (f"\n<footer>{footer}</footer>" if footer else "")
         + '\n<script>var tracker = "analytics";</script></body></html>'
     )
     return page.encode("utf-8")
+
+
+def page_outlinks(i: int) -> list[str]:
+    """Deterministic cross-host hyperlinks for page ``i`` — a pure
+    function of the page index (NO rng draws, so the text/lang/paragraph
+    stream of every existing page is bit-identical to pre-link synth).
+
+    The target mix models real web in-link skew: every HTML page links to
+    one of 5 hub hosts (site0-site4 collect ~a fifth of hub edges each,
+    the head-entity analogue at the host level), plus two mid-tail hosts
+    spread by co-prime strides so the tail in-degree is near-uniform.
+    Self-host links occur (when a stride lands on i % 50) and are kept:
+    the edge extractor must filter them, and the fixture proves it."""
+    targets = [i % 5, (3 + 7 * i) % 50, (11 + 13 * i) % 50]
+    return [
+        f"https://site{t}.example/page/{(i + 17 * (k + 1)) % 1000}"
+        for k, t in enumerate(targets)
+    ]
 
 
 def synth_page(i: int, seed: int = 42) -> dict:
@@ -117,7 +141,7 @@ def synth_page(i: int, seed: int = 42) -> dict:
     if rng.random() < 0.1:
         html_bytes = text.encode("utf-8")  # text/plain path (views.py:57)
     else:
-        html_bytes = _make_html(url, paragraphs)
+        html_bytes = _make_html(url, paragraphs, page_outlinks(i))
     return {"url": url, "warc_ts": warc_ts, "html": html_bytes, "text": text, "lang": lang}
 
 
