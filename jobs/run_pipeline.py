@@ -24,6 +24,9 @@ import time
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="pages table path (parquet/iceberg)")
+    ap.add_argument("--input-warc", help="read pages from WARC file(s) or a "
+                    "directory of segments (Common Crawl layout; "
+                    "sources/warc.py — one task per segment file)")
     ap.add_argument("--pages", type=int, default=2000,
                     help="synthesize N deterministic pages instead of --input")
     ap.add_argument("--workdir", help="checkpoint root (enables resume)")
@@ -46,10 +49,14 @@ def main() -> int:
 
     spark = get_session(app_name="kg-pipeline")
     t0 = time.monotonic()
-    pages = (
-        read_pages(spark, args.input) if args.input
-        else synth_pages_df(spark, args.pages)
-    )
+    if args.input_warc:
+        from ner_app_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.input_warc)
+    elif args.input:
+        pages = read_pages(spark, args.input)
+    else:
+        pages = synth_pages_df(spark, args.pages)
     out = run_pipeline(
         spark,
         pages,

@@ -77,6 +77,29 @@ def test_run_pipeline_via_spark_submit(pyfiles_zip, tmp_path, spark):
     assert df.count() == N_TRIPLES
 
 
+def test_run_pipeline_from_warc_via_spark_submit(pyfiles_zip, tmp_path):
+    """--input-warc: the SAME 60-page corpus serialized as Common-Crawl-
+    shaped WARC segments must reproduce the golden counts exactly — the
+    WARC read path feeds the identical (url, html, lang) rows the synth
+    source does (text is re-extracted from html in-pipeline)."""
+    from ner_app_spark.sources.warc import write_warc
+    from ner_app_spark.synth import synth_pages
+
+    warc_dir = tmp_path / "warc_in"
+    warc_dir.mkdir()
+    rows = synth_pages(N_PAGES)
+    for k in range(3):
+        write_warc(str(warc_dir / f"seg{k}.warc.gz"), rows[k::3])
+    got = _submit(
+        pyfiles_zip, "run_pipeline.py",
+        "--input-warc", str(warc_dir), "--parts", "8",
+    )
+    assert got["documents"] == N_PAGES
+    assert got["phrases"] == N_PHRASES
+    assert got["triples"] == N_TRIPLES
+    assert got["links"] > 0
+
+
 def test_run_ner_via_spark_submit_with_artifact_store(pyfiles_zip, tmp_path):
     from ner_app_spark.plans.artifacts import save_artifact
 
