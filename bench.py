@@ -243,6 +243,8 @@ def run_bench() -> dict:
         "host_pagerank": lambda s, _: webgraph.host_pagerank(
             _synth_pages(s), iters=6
         ),
+        # crawl-side URL canonicalization over the noised registry fixture
+        "url_normalize": QUERIES["url_normalize"],
     }
     extras: dict[str, float] = {}
     for name, fn in extras_fns.items():

@@ -1046,6 +1046,61 @@ SELECT url, CAST(strlen(html) AS BIGINT) AS n_html_bytes, lang,
 FROM rawpages"""
 
 
+def _url_normalize_sql(n_pages: int) -> str:
+    """q_url_normalize replayed: the same deterministic noising (variant
+    = page_number % 6) and the same group-free canonicalization chain
+    (operators/urlnorm.canonical_url steps 1-6), each regexp_replace with
+    the 'g' flag to match Spark's replace-all semantics, run through
+    DuckDB's own regex/string engine over the inlined page urls."""
+    from .synth import synth_pages
+
+    vals = ",\n".join(f"({_sql_lit(p['url'])})" for p in synth_pages(n_pages))
+    canon = "u"
+    for step in (
+        "regexp_replace({e}, '#.*', '', 'g')",
+        "replace({e}, ':80/', '/')",
+        "replace({e}, ':443/', '/')",
+        "regexp_replace({e}, ':80$', '', 'g')",
+        "regexp_replace({e}, ':443$', '', 'g')",
+    ):
+        canon = step.format(e=canon)
+    canon = (
+        "lower(regexp_extract(" + canon + ", '(?i)(https?)://', 1)) || '://' || "
+        "lower(regexp_extract(" + canon + ", '(?i)https?://([^/?#]+)', 1)) || "
+        "regexp_extract(" + canon + ", '(?i)https?://[^/?#]+([/?#].*)', 1)"
+    )
+    for step in (
+        "replace({e}, '://www.', '://')",
+        "regexp_replace({e}, 'utm_[a-z]+=[^&#]*&', '', 'g')",
+        "regexp_replace({e}, '[?&]utm_[a-z]+=[^&#]*$', '', 'g')",
+        "regexp_replace({e}, '[?]$', '', 'g')",
+        "regexp_replace({e}, '/+$', '', 'g')",
+    ):
+        canon = step.format(e=canon)
+    return f"""
+WITH rawurls(url) AS (VALUES {vals}),
+nv AS (SELECT url, CAST(regexp_extract(url, 'page/([0-9]+)', 1) AS INTEGER) % 6 AS v
+       FROM rawurls),
+noised AS (
+  SELECT CASE v
+           WHEN 1 THEN url || '#section2'
+           WHEN 2 THEN replace(url, '://site', '://SiTe')
+           WHEN 3 THEN replace(url, '.example/', '.example:443/')
+           WHEN 4 THEN replace(url, '://site', '://www.site')
+           WHEN 5 THEN url || '?utm_source=feed&utm_campaign=x'
+           ELSE url END AS url
+  FROM nv
+  UNION ALL
+  SELECT url FROM nv WHERE v % 2 = 1),
+canon AS (SELECT DISTINCT url FROM noised),
+cc AS (SELECT url, {canon} AS url_canon FROM (SELECT url, url AS u FROM canon)),
+grp AS (SELECT url_canon, COUNT(*) AS n_variants, MIN(url) AS rep
+        FROM cc GROUP BY url_canon)
+SELECT c.url, c.url_canon, CAST(g.n_variants AS BIGINT) AS n_variants,
+       c.url = g.rep AS is_canonical_rep
+FROM cc c JOIN grp g USING (url_canon)"""
+
+
 def _host_edges_sql(n_pages: int) -> str:
     return (
         f"WITH {_host_edge_ctes(n_pages)}\n"
@@ -1725,6 +1780,7 @@ FROM injected
     "host_link_edges": _host_edges_sql(200),
     "host_pagerank": _host_pagerank_sql(200, iters=6),
     "warc_roundtrip": _warc_roundtrip_sql(200),
+    "url_normalize": _url_normalize_sql(200),
     # kmeans_clusters is rendered at call time in oracle_sql_map (the
     # trained codebook inlines from the parity sf dir, same as ivf_topk)
 }

@@ -1244,6 +1244,34 @@ def q_host_pagerank(spark, sf_dir):
     return webgraph.host_pagerank(_pages_for(spark, sf_dir), iters=6)
 
 
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization (operators/urlnorm.py) over a deterministically
+    noised spelling of every page url (same in-query fixture-derivation
+    convention as pii_scan): variant v = page_number % 6 injects a
+    fragment / uppercased host / :443 default port / www. alias / utm
+    params / nothing, and for odd v the ORIGINAL spelling is unioned in
+    too — so the canonical groups genuinely collapse multiple raw
+    spellings (n_variants = 2) and the representative choice is
+    exercised. The DuckDB oracle replays the same derivation and the
+    same group-free normalize chain through its own regex engine."""
+    from .operators import urlnorm
+
+    pages = _pages_for(spark, sf_dir).select("url")
+    n = F.regexp_extract("url", "page/([0-9]+)", 1).cast("int")
+    v = n % 6
+    noisy = pages.select(
+        F.when(v == 1, F.concat("url", F.lit("#section2")))
+        .when(v == 2, F.replace("url", F.lit("://site"), F.lit("://SiTe")))
+        .when(v == 3, F.replace("url", F.lit(".example/"), F.lit(".example:443/")))
+        .when(v == 4, F.replace("url", F.lit("://site"), F.lit("://www.site")))
+        .when(v == 5, F.concat("url", F.lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(F.col("url"))
+        .alias("url")
+    )
+    both = noisy.union(pages.filter(v % 2 == 1))
+    return urlnorm.normalize_urls(both)
+
+
 @_eager_once
 def q_warc_roundtrip(spark, sf_dir):
     """Common-Crawl WARC ingestion check (sources/warc.py): the synth
@@ -1314,7 +1342,7 @@ q_kmeans_clusters = _eager_once(q_kmeans_clusters)
 q_host_pagerank = _eager_once(q_host_pagerank)
 
 
-# 66 entries, the FIRST 50 of which are the driver-evaluated window: the
+# 67 entries, the FIRST 50 of which are the driver-evaluated window: the
 # parity driver evaluates at most 50 registry entries (round-1 evidence:
 # CORRECTNESS_r01 recorded precisely the first 50 of 53, dict order), so
 # every SURVEY §2 operator row is budgeted into positions 1-50.
@@ -1424,4 +1452,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_link_edges": q_host_link_edges,
     "host_pagerank": q_host_pagerank,
     "warc_roundtrip": q_warc_roundtrip,
+    "url_normalize": q_url_normalize,
 }
