@@ -100,6 +100,29 @@ def test_run_pipeline_from_warc_via_spark_submit(pyfiles_zip, tmp_path):
     assert got["links"] > 0
 
 
+def test_run_webgraph_via_spark_submit(pyfiles_zip, tmp_path, spark):
+    outdir = str(tmp_path / "webgraph")
+    got = _submit(
+        pyfiles_zip, "run_webgraph.py",
+        "--pages", str(N_PAGES), "--parts", "8", "--output", outdir,
+    )
+    assert got["n_hosts"] == 50 and got["n_edges"] > 0
+    # the persisted ranks agree with an in-process recompute (bit-exact
+    # fixed-point math at any parallelism)
+    from ner_app_spark.operators.webgraph import host_pagerank
+    from ner_app_spark.sources.pages import synth_pages_df
+
+    expect = sorted(
+        map(tuple, host_pagerank(synth_pages_df(spark, N_PAGES), iters=6)
+            .select("host", "rank_scaled").collect())
+    )
+    stored = sorted(
+        map(tuple, spark.read.parquet(f"{outdir}/ranks")
+            .select("host", "rank_scaled").collect())
+    )
+    assert stored == expect
+
+
 def test_run_ner_via_spark_submit_with_artifact_store(pyfiles_zip, tmp_path):
     from ner_app_spark.plans.artifacts import save_artifact
 
