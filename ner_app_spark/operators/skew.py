@@ -33,21 +33,28 @@ def salted_distinct_count(
     value_col: str,
     n_salts: int = 16,
     out: str = "n_distinct",
+    count_out: str | None = None,
 ) -> DataFrame:
     """groupBy(key_cols).agg(countDistinct(value_col)) with two-phase
     salting. Exact: salt is a function of the value, so each distinct
-    value is counted in exactly one bucket."""
+    value is counted in exactly one bucket. With ``count_out`` the same
+    two-phase pass also carries the plain row count (summed per-bucket
+    counts) — one salted shuffle serves both aggregates instead of a
+    second full-key exchange."""
     salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts)).alias("__salt")
+    partial_aggs = [F.countDistinct(value_col).alias("__partial")]
+    if count_out is not None:
+        partial_aggs.append(F.count("*").alias("__cnt"))
     partial = (
         df.select(*key_cols, value_col)
         .withColumn("__salt", salt)
         .groupBy(*key_cols, "__salt")
-        .agg(F.countDistinct(value_col).alias("__partial"))
+        .agg(*partial_aggs)
     )
-    return (
-        partial.groupBy(*key_cols)
-        .agg(F.sum("__partial").alias(out))
-    )
+    final_aggs = [F.sum("__partial").alias(out)]
+    if count_out is not None:
+        final_aggs.append(F.sum("__cnt").alias(count_out))
+    return partial.groupBy(*key_cols).agg(*final_aggs)
 
 
 def entity_doc_frequency(

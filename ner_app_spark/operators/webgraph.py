@@ -71,6 +71,73 @@ def host_edges(pages: DataFrame) -> DataFrame:
     )
 
 
+#: full anchor element with visible text — both groups re-extracted from
+#: the matched tag (group 0), so one extract_all pass feeds href AND text
+ANCHOR_RE = '<a href="(https?://[^"]+)">([^<]+)</a>'
+
+
+def anchor_texts(pages: DataFrame) -> DataFrame:
+    """(src_host, dst_host, alias): one row per absolute hyperlink with
+    its visible anchor text, lowercased/trimmed. Cross-host only — same
+    self-host rule as host_edges (intra-site anchors are navigation
+    boilerplate, not naming evidence).
+
+    Anchor text is the classic alias signal for entity linking (the
+    web names its link targets): aggregated per target it becomes the
+    candidate alias dictionary the linking stage broadcast-joins
+    (operators/linking.py). Pure codegen: extract_all of the full tag,
+    then per-group regexp_extract — no UDF, map-local until the
+    consumer's aggregation."""
+    tags = pages.select(
+        F.regexp_extract("url", HOST_RE, 1).alias("src_host"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(cast(html as string), '{ANCHOR_RE}', 0)"
+            )
+        ).alias("tag"),
+    )
+    return (
+        tags.select(
+            "src_host",
+            F.regexp_extract("tag", ANCHOR_RE, 1).alias("href"),
+            F.lower(F.trim(F.regexp_extract("tag", ANCHOR_RE, 2))).alias("alias"),
+        )
+        .withColumn("dst_host", F.regexp_extract("href", HOST_RE, 1))
+        .filter((F.col("alias") != "") & (F.col("src_host") != F.col("dst_host")))
+        .select("src_host", "dst_host", "alias")
+    )
+
+
+def anchor_aliases(pages: DataFrame, n_salts: int = 16) -> DataFrame:
+    """(dst_host, alias, n_mentions, n_src_hosts): anchor-text alias
+    mining — how the web names each link target, with how many distinct
+    linker hosts agreeing (the dedup'd endorsement count that separates
+    a genuine alias from one spammy site's boilerplate).
+
+    The aggregation key is head-skewed by construction (hub hosts
+    collect a large share of all in-links — the host-level analogue of
+    popular entities), so n_src_hosts goes through the two-phase salted
+    distinct (operators/skew.py) with the plain mention count carried in
+    the same salted shuffle: a hot (dst_host, alias) key's state is
+    spread over n_salts reducer tasks and only the tiny per-bucket
+    partials meet at the full key."""
+    from .skew import salted_distinct_count
+
+    return salted_distinct_count(
+        anchor_texts(pages),
+        ["dst_host", "alias"],
+        "src_host",
+        n_salts=n_salts,
+        out="n_src_hosts",
+        count_out="n_mentions",
+    ).select(
+        "dst_host",
+        "alias",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        F.col("n_src_hosts").cast("long").alias("n_src_hosts"),
+    )
+
+
 def host_pagerank(pages: DataFrame, iters: int = 6, **kw) -> DataFrame:
     """(host, rank_scaled, rank): directed integer fixed-point PageRank
     over the host link graph — the crawl-importance prior. Direction is

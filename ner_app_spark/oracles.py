@@ -1108,6 +1108,34 @@ def _host_edges_sql(n_pages: int) -> str:
     )
 
 
+def _anchor_aliases_sql(n_pages: int) -> str:
+    """webgraph.anchor_aliases replayed: the synth pages inlined as
+    VALUES, the SAME backslash-free ANCHOR_RE pulling full <a> tags
+    (group 0), href/text re-extracted per group, cross-host filter, then
+    the plain GROUP BY — DuckDB needs no salting, and the Spark side's
+    two-phase salted distinct is exact by construction (salt is a
+    function of src_host), so the results are identical."""
+    from .operators.webgraph import ANCHOR_RE, HOST_RE
+    from .synth import synth_pages
+
+    vals = ",\n".join(
+        f"({_sql_lit(p['url'])}, {_sql_lit(p['html'].decode('utf-8'))})"
+        for p in synth_pages(n_pages)
+    )
+    return f"""WITH rawpages(url, html) AS (VALUES {vals}),
+atags AS (SELECT url, unnest(regexp_extract_all(html, '{ANCHOR_RE}', 0)) AS tag
+          FROM rawpages),
+ax AS (SELECT regexp_extract(url, '{HOST_RE}', 1) AS src_host,
+              regexp_extract(regexp_extract(tag, '{ANCHOR_RE}', 1),
+                             '{HOST_RE}', 1) AS dst_host,
+              lower(trim(regexp_extract(tag, '{ANCHOR_RE}', 2))) AS alias
+       FROM atags)
+SELECT dst_host, alias, CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+FROM ax WHERE alias <> '' AND src_host <> dst_host
+GROUP BY dst_host, alias"""
+
+
 def _host_pagerank_sql(n_pages: int, iters: int = 6, scale: int = 10**12) -> str:
     """Directed integer fixed-point PageRank over the host graph —
     replays graphalgo.pagerank(directed=True) iteration by iteration:
@@ -1781,6 +1809,7 @@ FROM injected
     "host_pagerank": _host_pagerank_sql(200, iters=6),
     "warc_roundtrip": _warc_roundtrip_sql(200),
     "url_normalize": _url_normalize_sql(200),
+    "anchor_aliases": _anchor_aliases_sql(200),
     # kmeans_clusters is rendered at call time in oracle_sql_map (the
     # trained codebook inlines from the parity sf dir, same as ivf_topk)
 }

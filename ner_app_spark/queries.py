@@ -1244,6 +1244,16 @@ def q_host_pagerank(spark, sf_dir):
     return webgraph.host_pagerank(_pages_for(spark, sf_dir), iters=6)
 
 
+def q_anchor_aliases(spark, sf_dir):
+    # anchor-text alias mining over the web link layer: the candidate
+    # alias dictionary for entity linking. n_src_hosts runs through the
+    # two-phase salted distinct (operators/skew.py) because hub hosts
+    # (site0-4 collect ~a fifth of in-links each) concentrate the
+    # aggregation key exactly like head entities; n_mentions rides the
+    # same salted shuffle.
+    return webgraph.anchor_aliases(_pages_for(spark, sf_dir))
+
+
 def q_url_normalize(spark, sf_dir):
     """URL canonicalization (operators/urlnorm.py) over a deterministically
     noised spelling of every page url (same in-query fixture-derivation
@@ -1453,4 +1463,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pagerank": q_host_pagerank,
     "warc_roundtrip": q_warc_roundtrip,
     "url_normalize": q_url_normalize,
+    "anchor_aliases": q_anchor_aliases,
 }

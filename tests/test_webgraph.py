@@ -108,3 +108,63 @@ def test_host_pagerank_deterministic_across_parallelism(spark):
     assert sorted(map(tuple, a.select("host", "rank_scaled").collect())) == sorted(
         map(tuple, b.select("host", "rank_scaled").collect())
     )
+
+
+def _expected_anchor_aliases(n=60):
+    """Local replay of anchor_aliases straight from the synth generator."""
+    agg: dict[tuple[str, str], set] = {}
+    cnt: dict[tuple[str, str], int] = {}
+    for i, p in enumerate(synth_pages(n)):
+        if not bytes(p["html"]).startswith(b"<html"):
+            continue
+        src_host = p["url"].split("://")[1].split("/")[0]
+        for k, u in enumerate(page_outlinks(i)):
+            dst_host = u.split("://")[1].split("/")[0]
+            if dst_host == src_host:
+                continue
+            key = (dst_host, f"ref{k}")
+            agg.setdefault(key, set()).add(src_host)
+            cnt[key] = cnt.get(key, 0) + 1
+    return {
+        k: (cnt[k], len(srcs)) for k, srcs in agg.items()
+    }
+
+
+def test_anchor_aliases_match_synth_generator(spark):
+    """(dst_host, alias) mention and distinct-linker counts recover the
+    deterministic footer anchors (ref0/ref1/ref2) exactly — including
+    dropped self-host anchors and the text/plain pages contributing
+    nothing."""
+    got = {
+        (r["dst_host"], r["alias"]): (r["n_mentions"], r["n_src_hosts"])
+        for r in webgraph.anchor_aliases(_pages(spark, 60)).collect()
+    }
+    assert got == _expected_anchor_aliases(60)
+
+
+def test_anchor_aliases_distinct_never_exceeds_mentions(spark):
+    for r in webgraph.anchor_aliases(_pages(spark, 100)).collect():
+        assert 1 <= r["n_src_hosts"] <= r["n_mentions"]
+
+
+def test_anchor_aliases_plan_salted_two_phase_codegen(spark):
+    """The aggregation runs as the two-phase salted shape (a (key, salt)
+    exchange below a key-only exchange) with zero Python eval nodes."""
+    plan = (
+        webgraph.anchor_aliases(_pages(spark, 60))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "lambdafunction"):
+        assert bad not in plan
+    assert plan.count("Exchange hashpartitioning") >= 2
+    assert "__salt" in plan
+
+
+def test_anchor_texts_cross_host_only(spark):
+    rows = webgraph.anchor_texts(_pages(spark, 60)).collect()
+    assert rows
+    for r in rows:
+        assert r["src_host"] != r["dst_host"]
+        assert r["alias"] == r["alias"].strip().lower() != ""
