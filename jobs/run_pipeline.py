@@ -37,6 +37,10 @@ def main() -> int:
     ap.add_argument("--parts", type=int, default=32)
     ap.add_argument("--lang", default="ru")
     ap.add_argument("--min-link-score", type=float, default=0.5)
+    ap.add_argument("--web-aliases", action="store_true",
+                    help="union the web-mined anchor-text alias dictionary "
+                    "(webgraph.anchor_alias_dim over the same pages scan) "
+                    "into the linking dictionary")
     args = ap.parse_args()
 
     from ner_app_spark.plans.pipeline import (
@@ -64,6 +68,7 @@ def main() -> int:
         n_parts=args.parts,
         lang=args.lang,
         min_link_score=args.min_link_score,
+        web_aliases=args.web_aliases,
     )
     counters = pipeline_counters(out)
     if args.output:

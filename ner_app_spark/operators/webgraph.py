@@ -138,6 +138,44 @@ def anchor_aliases(pages: DataFrame, n_salts: int = 16) -> DataFrame:
     )
 
 
+#: web-minted entity ids live above this offset, disjoint from the
+#: curated dictionary's small ids (sources/pages.alias_dict_df)
+WEB_ENTITY_ID_BASE = 10**15
+
+
+def anchor_alias_dim(pages: DataFrame, min_src_hosts: int = 2) -> DataFrame:
+    """(alias, entity_id, canonical_name): the web-mined alias dictionary
+    — anchor aliases endorsed by >= ``min_src_hosts`` distinct linker
+    hosts, shaped exactly like the curated dim (alias_dict_df) so the
+    linking stage unions the two (plans/pipeline.py ``web_aliases=True``).
+    An alias naming several targets keeps a row per target: candidate
+    generation handles ambiguous aliases and link scoring tie-breaks.
+
+    entity_id mints portably from md5(canonical host): 48-bit hex prefix
+    as an integer, offset by WEB_ENTITY_ID_BASE so web ids can never
+    collide with the curated dictionary's (the DuckDB oracle replays the
+    same digits; same md5-portability rule as linking's band keys).
+
+    The endorsement gate is also the scale bound: at 10^12 pages the raw
+    (alias, host) space is huge, but the dim the linker broadcasts is
+    the gated one — raise ``min_src_hosts`` (real anchor dictionaries
+    prune exactly this way) to keep it broadcast-sized; past that, drop
+    candidate_pairs' broadcast hint and let the band join shuffle."""
+    return (
+        anchor_aliases(pages)
+        .filter(F.col("n_src_hosts") >= int(min_src_hosts))
+        .select(
+            "alias",
+            (
+                F.conv(F.substring(F.md5(F.col("dst_host")), 1, 12), 16, 10)
+                .cast("long")
+                + F.lit(WEB_ENTITY_ID_BASE)
+            ).alias("entity_id"),
+            F.col("dst_host").alias("canonical_name"),
+        )
+    )
+
+
 def host_pagerank(pages: DataFrame, iters: int = 6, **kw) -> DataFrame:
     """(host, rank_scaled, rank): directed integer fixed-point PageRank
     over the host link graph — the crawl-importance prior. Direction is

@@ -1136,6 +1136,23 @@ FROM ax WHERE alias <> '' AND src_host <> dst_host
 GROUP BY dst_host, alias"""
 
 
+def _anchor_alias_dim_sql(n_pages: int, min_src_hosts: int = 2) -> str:
+    """webgraph.anchor_alias_dim replayed: the anchor_aliases aggregate
+    as a subquery, the endorsement gate, and the portable entity-id mint
+    — Spark's conv(substr(md5(host),1,12),16,10) recomputed as the
+    6-byte big-endian hex sum (DuckDB has no hex->int cast; same
+    _hexbyte device as the multimodal oracle)."""
+    from .operators.webgraph import WEB_ENTITY_ID_BASE
+
+    hex6be = " + ".join(_hexbyte("h", 1 + j) + f" * {256 ** (5 - j)}" for j in range(6))
+    return f"""WITH agg AS ({_anchor_aliases_sql(n_pages)}),
+d AS (SELECT alias, dst_host, md5(dst_host) AS h
+      FROM agg WHERE n_src_hosts >= {min_src_hosts})
+SELECT alias, CAST({hex6be} + {WEB_ENTITY_ID_BASE} AS BIGINT) AS entity_id,
+       dst_host AS canonical_name
+FROM d"""
+
+
 def _host_pagerank_sql(n_pages: int, iters: int = 6, scale: int = 10**12) -> str:
     """Directed integer fixed-point PageRank over the host graph —
     replays graphalgo.pagerank(directed=True) iteration by iteration:
@@ -1810,6 +1827,7 @@ FROM injected
     "warc_roundtrip": _warc_roundtrip_sql(200),
     "url_normalize": _url_normalize_sql(200),
     "anchor_aliases": _anchor_aliases_sql(200),
+    "anchor_alias_dim": _anchor_alias_dim_sql(200),
     # kmeans_clusters is rendered at call time in oracle_sql_map (the
     # trained codebook inlines from the parity sf dir, same as ivf_topk)
 }

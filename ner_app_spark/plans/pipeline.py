@@ -60,6 +60,7 @@ def run_pipeline(
     n_parts: int = 32,
     lang: str = "ru",
     min_link_score: float = 0.5,
+    web_aliases: bool = False,
 ) -> PipelineOutput:
     """Run the full pipeline. With ``workdir`` set, the three heavy stages
     (extracted/phrases/triples) checkpoint per-partition and resume.
@@ -112,9 +113,18 @@ def run_pipeline(
         phrases = fused_phrases(fused)
         triples = fused_triples(fused)
 
-        links = link_mentions(
-            phrases, alias_dict_df(spark), min_score=min_link_score
-        )
+        # candidate-generation dictionary: the curated dim, optionally
+        # unioned with the web-mined anchor dictionary (dst_host-keyed
+        # entity ids minted disjoint above WEB_ENTITY_ID_BASE). The web
+        # dim derives from the SAME pages scan the extract stage read —
+        # at 10^12 pages its endorsement gate keeps it broadcast-sized
+        # (webgraph.anchor_alias_dim docstring).
+        aliases = alias_dict_df(spark)
+        if web_aliases:
+            from ..operators.webgraph import anchor_alias_dim
+
+            aliases = aliases.unionByName(anchor_alias_dim(pages))
+        links = link_mentions(phrases, aliases, min_score=min_link_score)
         # checkpointed runs are reliable END-TO-END: the CC rounds inside
         # canonicalize route through the same manifest-backed checkpoint
         # (subdir keeps cc_round_* manifests apart from stage manifests)

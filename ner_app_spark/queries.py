@@ -1254,6 +1254,13 @@ def q_anchor_aliases(spark, sf_dir):
     return webgraph.anchor_aliases(_pages_for(spark, sf_dir))
 
 
+def q_anchor_alias_dim(spark, sf_dir):
+    # the web-mined alias dictionary the linking stage unions in under
+    # run_pipeline(web_aliases=True): endorsement-gated anchor aliases
+    # with md5-portable entity ids disjoint from the curated dim.
+    return webgraph.anchor_alias_dim(_pages_for(spark, sf_dir))
+
+
 def q_url_normalize(spark, sf_dir):
     """URL canonicalization (operators/urlnorm.py) over a deterministically
     noised spelling of every page url (same in-query fixture-derivation
@@ -1464,4 +1471,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_roundtrip": q_warc_roundtrip,
     "url_normalize": q_url_normalize,
     "anchor_aliases": q_anchor_aliases,
+    "anchor_alias_dim": q_anchor_alias_dim,
 }

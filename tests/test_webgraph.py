@@ -168,3 +168,88 @@ def test_anchor_texts_cross_host_only(spark):
     for r in rows:
         assert r["src_host"] != r["dst_host"]
         assert r["alias"] == r["alias"].strip().lower() != ""
+
+
+def _mk_pages(spark, rows):
+    """Tiny custom pages frame in the input_hint shape."""
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [
+            (url, dt.datetime(2024, 1, 1), html.encode("utf-8"), "", "ru")
+            for url, html in rows
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def test_anchor_alias_dim_gate_and_portable_mint(spark):
+    """Endorsement gate keeps only >=2-host aliases; entity ids replay
+    the md5 mint exactly and sit above WEB_ENTITY_ID_BASE."""
+    import hashlib
+
+    dim = {
+        (r["alias"], r["canonical_name"]): r["entity_id"]
+        for r in webgraph.anchor_alias_dim(_pages(spark, 60), min_src_hosts=2).collect()
+    }
+    full = {
+        (r["dst_host"], r["alias"]): r["n_src_hosts"]
+        for r in webgraph.anchor_aliases(_pages(spark, 60)).collect()
+    }
+    assert set(dim) == {
+        (alias, host) for (host, alias), n in full.items() if n >= 2
+    }
+    for (alias, host), eid in dim.items():
+        want = webgraph.WEB_ENTITY_ID_BASE + int(
+            hashlib.md5(host.encode()).hexdigest()[:12], 16
+        )
+        assert eid == want
+
+
+def test_web_alias_dim_unions_into_linking(spark):
+    """A mention the curated dictionary does not know links through the
+    web-mined dictionary; a curated mention keeps its curated entity
+    (exact matches tie at score 1.0 and the lower curated id wins)."""
+    from ner_app_spark import morphology as M
+    from ner_app_spark.operators.linking import link_mentions
+    from ner_app_spark.sources.pages import alias_dict_df
+
+    anchor = '<a href="https://target.example/p">Виджетрон</a>'
+    pages = _mk_pages(
+        spark,
+        [
+            (f"https://src{i}.example/page", f"<html><body>{anchor}</body></html>")
+            for i in range(3)
+        ],
+    )
+    curated = alias_dict_df(spark)
+    union = curated.unionByName(webgraph.anchor_alias_dim(pages, min_src_hosts=2))
+    known = M.noun_lemmas()[7]
+    phrases = spark.createDataFrame(
+        [("u1", "виджетрон"), ("u2", known)], "url string, head_noun string"
+    )
+    links = {r["mention"]: r for r in link_mentions(phrases, union).collect()}
+    assert links["виджетрон"]["canonical_name"] == "target.example"
+    assert links["виджетрон"]["entity_id"] >= webgraph.WEB_ENTITY_ID_BASE
+    assert abs(links["виджетрон"]["score"] - 1.0) < 1e-9
+    curated_ids = {
+        r["entity_id"] for r in curated.filter(F.col("alias") == known).collect()
+    }
+    assert links[known]["entity_id"] in curated_ids
+
+
+def test_run_pipeline_web_aliases_noninterference(spark, tmp_path):
+    """web_aliases=True over synth pages (whose anchor aliases refK never
+    collide with extracted mentions) yields byte-identical links."""
+    from ner_app_spark.plans.pipeline import run_pipeline
+
+    outs = {}
+    for flag in (False, True):
+        out = run_pipeline(
+            spark, _pages(spark, 20), n_parts=4, web_aliases=flag
+        )
+        outs[flag] = sorted(
+            map(tuple, out.links.select("mention", "entity_id", "score").collect())
+        )
+        out.cleanup()
+    assert outs[True] == outs[False] and outs[False]
