@@ -245,6 +245,12 @@ def run_bench() -> dict:
         ),
         # crawl-side URL canonicalization over the noised registry fixture
         "url_normalize": QUERIES["url_normalize"],
+        # anchor-text alias mining (salted distinct-linker counts) and
+        # the endorsement-gated web alias dictionary built from it
+        "anchor_aliases": lambda s, _: webgraph.anchor_aliases(_synth_pages(s)),
+        "anchor_alias_dim": lambda s, _: webgraph.anchor_alias_dim(
+            _synth_pages(s)
+        ),
     }
     extras: dict[str, float] = {}
     for name, fn in extras_fns.items():
