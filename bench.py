@@ -251,6 +251,9 @@ def run_bench() -> dict:
         "anchor_alias_dim": lambda s, _: webgraph.anchor_alias_dim(
             _synth_pages(s)
         ),
+        # domain-level curation rollup: per-host quality/volume stats
+        # (fixed-point mean quality) over the extracted pages
+        "host_quality": lambda s, _: webgraph.host_quality(_synth_pages(s)),
     }
     extras: dict[str, float] = {}
     for name, fn in extras_fns.items():

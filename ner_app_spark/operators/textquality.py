@@ -20,6 +20,32 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 STOPWORDS = LANG_MARKERS["en"]
 
+#: Cyrillic-inclusive token regex + en∪ru stop list for the web-page
+#: corpus (synth pages are ru-dominant; the documents-table default
+#: TOKEN_SQL_RE is Latin-only and would meter Russian text as ~0 tokens)
+WEB_TOKEN_SQL_RE = "[a-zа-яё0-9]{2,}"
+WEB_STOPWORDS: tuple[str, ...] = LANG_MARKERS["en"] + LANG_MARKERS["ru"]
+
+
+def quality_expr(n_tokens, n_chars, n_punct, n_stop):
+    """The pinned composite quality formula as a Column — the single
+    source of truth shared by quality_score (documents table) and
+    webgraph.host_quality (web pages): 0.5·min(n_tokens/50, 1)
+    + 0.3·stopword_ratio + 0.2·(1 − min(5·punct_ratio, 1)), ROUND 6."""
+    return F.round(
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * F.lit(0.5)
+        + F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0) * F.lit(0.3)
+        + (
+            F.lit(1.0)
+            - F.least(
+                F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0) * F.lit(5.0),
+                F.lit(1.0),
+            )
+        )
+        * F.lit(0.2),
+        6,
+    )
+
 
 def token_count(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens): whitespace-word count — the cheap token meter."""
@@ -170,18 +196,8 @@ def quality_score(docs: DataFrame) -> DataFrame:
             ).otherwise(0.0),
             6,
         ).alias("top2gram_frac"),
-        F.round(
-            F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * F.lit(0.5)
-            + F.when(F.col("n_tokens") > 0, F.col("n_stop") / F.col("n_tokens")).otherwise(0.0) * F.lit(0.3)
-            + (
-                F.lit(1.0)
-                - F.least(
-                    F.when(F.col("n_chars") > 0, F.col("n_punct") / F.col("n_chars")).otherwise(0.0) * F.lit(5.0),
-                    F.lit(1.0),
-                )
-            )
-            * F.lit(0.2),
-            6,
+        quality_expr(
+            F.col("n_tokens"), F.col("n_chars"), F.col("n_punct"), F.col("n_stop")
         ).alias("quality"),
     )
 

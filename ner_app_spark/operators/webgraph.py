@@ -190,3 +190,111 @@ def host_pagerank(pages: DataFrame, iters: int = 6, **kw) -> DataFrame:
         **kw,
     )
     return ranks.withColumnRenamed("entity", "host")
+
+
+def host_quality(pages: DataFrame, low_quality: float = 0.5) -> DataFrame:
+    """(host, n_pages, plain_pages, n_tokens, n_chars,
+    mean_quality_micros, low_quality_pages): the domain-level curation
+    rollup — per-host aggregates of the per-page quality signals that
+    web-scale pipelines (C4 / Gopher / RefinedWeb-style) block-list and
+    sample domains on. The reference has no crawl surface; this is the
+    beyond-reference curation layer's host dimension, the table a
+    curation gate joins (with host_pagerank as the importance prior) to
+    decide which domains to keep, downsample, or drop wholesale.
+
+    Signals per host: page count, text/plain-lane count (content-type
+    mix), total tokens/chars (volume), ``mean_quality_micros`` (the mean
+    of textquality's pinned quality formula, fixed-point at 1e-6 —
+    integer math end-to-end so the row hash-verifies exactly), and the
+    count of pages under the ``low_quality`` threshold.
+
+    The token meter here is WEB_TOKEN_SQL_RE (Cyrillic-inclusive) with
+    the en∪ru stop list — the documents-table default (Latin-only
+    TOKEN_SQL_RE) would meter the ru-dominant page corpus as ~0 tokens
+    and grade every Russian host "low quality". The composite formula
+    itself is textquality.quality_expr, the same pinned expression
+    quality_score compiles.
+
+    Scale shape: the per-page signals are map-side-combinable per-doc
+    partial aggs keyed by doc_id (the stopword count is explode + agg —
+    no interpreted HOF; at 10^12 pages the shuffled volume is per-doc
+    signal rows, never text). The host rollup re-keys those O(pages)
+    signal rows to O(hosts) — hosts are ~10^8 at crawl scale, so the
+    final exchange is tiny and the host join for plain_pages is a
+    host-keyed join of two host-sized aggregates. quality is
+    ROUND(·, 6), so round(quality * 1e6) is an exact integer in both
+    engines and the threshold compare is deterministic."""
+    from .extract import extracted_text
+    from .textquality import WEB_STOPWORDS, WEB_TOKEN_SQL_RE, quality_expr
+
+    docs = extracted_text(pages).select(
+        F.col("url").alias("doc_id"), F.col("extracted").alias("text")
+    )
+    arr = f"regexp_extract_all(lower(text), '{WEB_TOKEN_SQL_RE}', 0)"
+    stop_list = ", ".join(f"'{s}'" for s in WEB_STOPWORDS)
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.expr(arr)).cast("long").alias("n_tokens"),
+        F.length(F.expr("regexp_replace(text, '[^.,;:!?]', '')"))
+        .cast("long")
+        .alias("n_punct"),
+    )
+    stops = (
+        docs.select("doc_id", F.explode(F.expr(arr)).alias("token"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(f"CASE WHEN token IN ({stop_list}) THEN 1 ELSE 0 END")
+            ).alias("n_stop")
+        )
+    )
+    per_doc = (
+        base.join(stops, "doc_id", "left")
+        .fillna(0, ["n_stop"])
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chars",
+            quality_expr(
+                F.col("n_tokens"),
+                F.col("n_chars"),
+                F.col("n_punct"),
+                F.col("n_stop"),
+            ).alias("quality"),
+        )
+    )
+    per_host = (
+        per_doc.withColumn("host", F.regexp_extract("doc_id", HOST_RE, 1))
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.expr(
+                "sum(cast(round(quality * 1000000) as bigint)) div count(*)"
+            ).alias("mean_quality_micros"),
+            F.sum(
+                (F.col("quality") < F.lit(float(low_quality))).cast("long")
+            ).alias("low_quality_pages"),
+        )
+    )
+    plains = (
+        pages.select(
+            F.regexp_extract("url", HOST_RE, 1).alias("host"),
+            (~F.expr("startswith(cast(html as string), '<html')"))
+            .cast("long")
+            .alias("p"),
+        )
+        .groupBy("host")
+        .agg(F.sum("p").alias("plain_pages"))
+    )
+    return per_host.join(plains, "host").select(
+        "host",
+        "n_pages",
+        "plain_pages",
+        "n_tokens",
+        "n_chars",
+        "mean_quality_micros",
+        "low_quality_pages",
+    )

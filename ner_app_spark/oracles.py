@@ -1026,6 +1026,66 @@ hedge AS (SELECT src, dst, COUNT(*) AS n_links FROM hh
           WHERE src <> dst GROUP BY src, dst)"""
 
 
+def _host_quality_sql(n_pages: int, low_quality: float = 0.5) -> str:
+    """q_host_quality replayed: the boilerplate strip rebuilt in SQL (the
+    same ordered replace chain as _kg_extracted_text_sql), the pinned
+    quality formula (textquality.quality_expr) over the extracted pages
+    with the Cyrillic-inclusive web token meter (WEB_TOKEN_SQL_RE +
+    en∪ru stop list — the pages corpus is ru-dominant), then the
+    fixed-point host rollup — mean quality accumulates as integer micros
+    (round(quality * 1e6) is exact: quality is ROUND(·, 6)), so the
+    integer division matches Spark's ``div`` bit-for-bit."""
+    from .operators.textquality import WEB_STOPWORDS, WEB_TOKEN_SQL_RE
+    from .synth import synth_pages
+
+    vals = ",\n".join(
+        f"({_sql_lit(p['url'])}, {_sql_lit(p['html'].decode('utf-8'))})"
+        for p in synth_pages(n_pages)
+    )
+    wtok = f"regexp_extract_all(lower(text), '{WEB_TOKEN_SQL_RE}')"
+    stop_list = ", ".join(f"'{s}'" for s in WEB_STOPWORDS)
+    return f"""
+WITH rawpages(url, html) AS (VALUES {vals}),
+docs AS (
+  SELECT url AS doc_id,
+         CASE WHEN NOT starts_with(html, '<html') THEN html
+              ELSE replace(replace(replace(
+                     array_to_string(
+                       regexp_extract_all(html, '(?s)<p>(.*?)</p>', 1),
+                       chr(10) || chr(10)),
+                     '&lt;', '<'), '&gt;', '>'), '&amp;', '&')
+         END AS text,
+         CASE WHEN starts_with(html, '<html') THEN 0 ELSE 1 END AS is_plain
+  FROM rawpages),
+tok AS (SELECT doc_id, unnest({wtok}) AS token FROM docs),
+base AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len({wtok}) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+  FROM docs),
+stops AS (
+  SELECT doc_id,
+         SUM(CASE WHEN token IN ({stop_list}) THEN 1 ELSE 0 END) AS n_stop
+  FROM tok GROUP BY doc_id),
+perdoc AS (
+  SELECT b.doc_id AS doc_id, n_chars, n_tokens,
+         ROUND(
+           least(n_tokens / 50.0, 1.0) * 0.5
+           + CASE WHEN n_tokens > 0 THEN COALESCE(n_stop, 0) / n_tokens ELSE 0.0 END * 0.3
+           + (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0)) * 0.2,
+           6) AS quality
+  FROM base b LEFT JOIN stops USING (doc_id))
+SELECT regexp_extract(doc_id, 'https?://([^/]+)', 1) AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(is_plain) AS BIGINT) AS plain_pages,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(CAST(round(quality * 1000000) AS BIGINT)) // COUNT(*) AS BIGINT) AS mean_quality_micros,
+       CAST(SUM(CASE WHEN quality < {low_quality} THEN 1 ELSE 0 END) AS BIGINT) AS low_quality_pages
+FROM perdoc JOIN docs USING (doc_id)
+GROUP BY 1"""
+
+
 def _warc_roundtrip_sql(n_pages: int) -> str:
     """q_warc_roundtrip replayed: the expected per-url html BYTE length
     (strlen = octets in DuckDB; the html is multi-byte UTF-8) and lang
@@ -1828,6 +1888,7 @@ FROM injected
     "url_normalize": _url_normalize_sql(200),
     "anchor_aliases": _anchor_aliases_sql(200),
     "anchor_alias_dim": _anchor_alias_dim_sql(200),
+    "host_quality": _host_quality_sql(200),
     # kmeans_clusters is rendered at call time in oracle_sql_map (the
     # trained codebook inlines from the parity sf dir, same as ivf_topk)
 }

@@ -1244,6 +1244,14 @@ def q_host_pagerank(spark, sf_dir):
     return webgraph.host_pagerank(_pages_for(spark, sf_dir), iters=6)
 
 
+def q_host_quality(spark, sf_dir):
+    # domain-level curation rollup: per-host page/plain-lane counts,
+    # token/char volume, fixed-point mean quality (integer micros, so the
+    # row hash-verifies exactly), low-quality page count — the table a
+    # web-scale curation gate block-lists and samples domains on
+    return webgraph.host_quality(_pages_for(spark, sf_dir))
+
+
 def q_anchor_aliases(spark, sf_dir):
     # anchor-text alias mining over the web link layer: the candidate
     # alias dictionary for entity linking. n_src_hosts runs through the
@@ -1472,4 +1480,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_normalize": q_url_normalize,
     "anchor_aliases": q_anchor_aliases,
     "anchor_alias_dim": q_anchor_alias_dim,
+    "host_quality": q_host_quality,
 }

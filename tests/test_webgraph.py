@@ -253,3 +253,54 @@ def test_run_pipeline_web_aliases_noninterference(spark, tmp_path):
         )
         out.cleanup()
     assert outs[True] == outs[False] and outs[False]
+
+
+def test_host_quality_rollup_semantics(spark):
+    """The domain rollup reproduces a local recompute over the synth
+    generator: page/plain-lane counts per host, token totals, and the
+    fixed-point mean of the pinned quality signal (web token meter)."""
+    import re
+
+    from ner_app_spark.operators.textquality import WEB_STOPWORDS
+
+    n = 60
+    rows = {r["host"]: r for r in webgraph.host_quality(_pages(spark, n)).collect()}
+    # every synth host (url = site{i%50}) with at least one page appears once
+    hosts = {f"site{i % 50}.example" for i in range(n)}
+    assert set(rows) == hosts
+    assert sum(r["n_pages"] for r in rows.values()) == n
+    # plain lane: exactly the non-<html payloads, attributed to their host
+    expected_plain: dict[str, int] = {h: 0 for h in hosts}
+    for i, p in enumerate(synth_pages(n)):
+        if not bytes(p["html"]).startswith(b"<html"):
+            expected_plain[f"site{i % 50}.example"] += 1
+    assert {h: r["plain_pages"] for h, r in rows.items()} == expected_plain
+    # per-doc recompute in plain Python over the AUTHORED text (byte-
+    # identical to the extracted text by construction): web token meter
+    # (Cyrillic-inclusive) + en∪ru stop list + the pinned formula
+    tok_re = re.compile(r"[a-zа-яё0-9]{2,}")
+    stop_set = set(WEB_STOPWORDS)
+    agg: dict[str, list] = {h: [0, 0, 0.0, 0] for h in hosts}
+    for i, p in enumerate(synth_pages(n)):
+        h = f"site{i % 50}.example"
+        text = p["text"]
+        toks = tok_re.findall(text.lower())
+        n_tok, n_ch = len(toks), len(text)
+        n_stop = sum(1 for t in toks if t in stop_set)
+        n_punct = sum(1 for c in text if c in ".,;:!?")
+        q = (
+            min(n_tok / 50.0, 1.0) * 0.5
+            + (n_stop / n_tok if n_tok else 0.0) * 0.3
+            + (1.0 - min((n_punct / n_ch if n_ch else 0.0) * 5.0, 1.0)) * 0.2
+        )
+        agg[h][0] += n_tok
+        agg[h][1] += n_ch
+        agg[h][2] += q * 1_000_000
+        agg[h][3] += 1 if q < 0.5 else 0
+    for h, r in rows.items():
+        assert r["n_tokens"] == agg[h][0]
+        assert r["n_chars"] == agg[h][1]
+        # the local model skips the ROUND(·,6) step, so allow a micro of
+        # accumulated rounding per page
+        assert abs(r["mean_quality_micros"] - agg[h][2] / r["n_pages"]) <= r["n_pages"]
+        assert r["low_quality_pages"] == agg[h][3]
