@@ -41,6 +41,14 @@ def main() -> int:
                     help="union the web-mined anchor-text alias dictionary "
                     "(webgraph.anchor_alias_dim over the same pages scan) "
                     "into the linking dictionary")
+    ap.add_argument("--min-host-quality", type=int,
+                    help="domain block-list gate: drop every page from "
+                    "hosts whose mean quality (integer micros, "
+                    "webgraph.host_quality) is below this threshold before "
+                    "extraction; the host dim is host-sized and broadcast "
+                    "semi-joined to the page scan. At production scale the "
+                    "dim comes from the previous crawl snapshot — here it "
+                    "is computed from the same input")
     args = ap.parse_args()
 
     from ner_app_spark.plans.pipeline import (
@@ -61,6 +69,25 @@ def main() -> int:
         pages = read_pages(spark, args.input)
     else:
         pages = synth_pages_df(spark, args.pages)
+    host_gate = None
+    if args.min_host_quality is not None:
+        from pyspark.sql import functions as F
+
+        from ner_app_spark.operators import webgraph
+
+        hq = webgraph.host_quality(pages)
+        allowed = hq.filter(
+            F.col("mean_quality_micros") >= args.min_host_quality
+        ).select("host")
+        host_gate = {
+            "hosts_total": hq.count(),
+            "hosts_allowed": allowed.count(),
+        }
+        pages = pages.join(
+            F.broadcast(allowed),
+            F.regexp_extract("url", webgraph.HOST_RE, 1) == F.col("host"),
+            "left_semi",
+        )
     out = run_pipeline(
         spark,
         pages,
@@ -85,6 +112,7 @@ def main() -> int:
     print(json.dumps({
         "wall_sec": wall,
         **({"snapshots": snapshots} if snapshots else {}),
+        **({"host_gate": host_gate} if host_gate else {}),
         "docs_per_sec": round(counters["documents"] / wall, 2),
         "triples_per_sec": round(counters["triples"] / wall, 2),
         **counters,

@@ -321,3 +321,39 @@ def test_run_curation_decontam_and_pii_flags(pyfiles_zip, tmp_path, spark):
         docs.select("doc_id", "text"), "doc_id"
     )
     assert joined.filter(F.col("t2") != F.col("text")).count() == 0
+
+
+def test_run_pipeline_host_quality_gate(pyfiles_zip, spark):
+    """--min-host-quality block-lists low-quality domains before
+    extraction: the JSON carries the gate counters, and the documents
+    count drops to exactly the pages of allowed hosts."""
+    from pyspark.sql import functions as F
+
+    from ner_app_spark.operators import webgraph
+    from ner_app_spark.sources.pages import synth_pages_df
+
+    hq = {
+        r["host"]: r["mean_quality_micros"]
+        for r in webgraph.host_quality(synth_pages_df(spark, N_PAGES)).collect()
+    }
+    thr = sorted(hq.values())[len(hq) // 2]  # median: blocks some, keeps some
+    allowed = {h for h, m in hq.items() if m >= thr}
+    assert 0 < len(allowed) < len(hq)
+    expected_docs = sum(
+        1
+        for r in synth_pages_df(spark, N_PAGES)
+        .select(F.regexp_extract("url", webgraph.HOST_RE, 1).alias("h"))
+        .collect()
+        if r["h"] in allowed
+    )
+    got = _submit(
+        pyfiles_zip, "run_pipeline.py",
+        "--pages", str(N_PAGES), "--parts", "8",
+        "--min-host-quality", str(thr),
+    )
+    assert got["host_gate"] == {
+        "hosts_total": len(hq),
+        "hosts_allowed": len(allowed),
+    }
+    assert got["documents"] == expected_docs
+    assert 0 < got["documents"] < N_PAGES
