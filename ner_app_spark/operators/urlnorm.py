@@ -54,8 +54,12 @@ def canonical_url(url: Column | str) -> Column:
     host = F.lower(F.regexp_extract(u, _HOST_RE, 1))
     tail = F.regexp_extract(u, _TAIL_RE, 1)
     u = F.concat(scheme, F.lit("://"), host, tail)
-    # 4. www. alias
-    u = F.replace(u, F.lit("://www."), F.lit("://"))
+    # 4. www. alias — (www.)+ so stacked prefixes (www.www.host) collapse
+    #    in ONE pass and canonicalization stays idempotent (a crawl
+    #    frontier re-canonicalizes already-canonical urls constantly);
+    #    the pattern has a group but the replacement is group-free, which
+    #    is what the portability rule requires
+    u = F.regexp_replace(u, "://(www[.])+", "://")
     # 5. utm_* params: mid-query (keep the separator that FOLLOWS), then
     #    trailing, then a dangling '?' left by an utm-only query
     u = F.regexp_replace(u, "utm_[a-z]+=[^&#]*&", "")

@@ -1130,7 +1130,7 @@ def _url_normalize_sql(n_pages: int) -> str:
         "regexp_extract(" + canon + ", '(?i)https?://[^/?#]+([/?#].*)', 1)"
     )
     for step in (
-        "replace({e}, '://www.', '://')",
+        "regexp_replace({e}, '://(www[.])+', '://', 'g')",
         "regexp_replace({e}, 'utm_[a-z]+=[^&#]*&', '', 'g')",
         "regexp_replace({e}, '[?&]utm_[a-z]+=[^&#]*$', '', 'g')",
         "regexp_replace({e}, '[?]$', '', 'g')",

@@ -20,8 +20,10 @@ CASES = [
     ("https://a.example:8443/p", "https://a.example:8443/p"),
     # host case folds, path case survives
     ("HTTPS://A.Example/PaTh", "https://a.example/PaTh"),
-    # www alias
+    # www alias — incl. stacked prefixes (must collapse in one pass so
+    # canonicalization is idempotent)
     ("https://www.a.example/p", "https://a.example/p"),
+    ("https://www.www.a.example/p", "https://a.example/p"),
     # utm params: leading, middle, trailing, utm-only
     ("https://a.example/p?utm_source=x", "https://a.example/p"),
     ("https://a.example/p?utm_source=x&k=1", "https://a.example/p?k=1"),
@@ -80,3 +82,26 @@ def test_plan_is_pure_codegen(spark):
     )
     for bad in ("BatchEvalPython", "ArrowEvalPython", "lambdafunction"):
         assert bad not in plan
+
+
+def test_canonical_url_idempotent(spark):
+    """canon(canon(u)) == canon(u) over the pinned cases, the synth
+    noising variants, and their pairwise stackings — the invariant a
+    crawl frontier relies on when it re-canonicalizes stored urls."""
+    base = [r for r, _ in CASES]
+    # stack the noise kinds the registry fixture injects, in both orders
+    frag, port, www, utm = "#z", ":443", "www.", "?utm_x=1&utm_y=2"
+    stacked = []
+    for u in ("https://B.Example/Path", "http://b.example/p/"):
+        stacked += [
+            u + frag,
+            u.replace("://", "://" + www) + utm,
+            u.replace("//b", "//b" + port.replace(":", ":")) if "//b" in u else u,
+            u + utm + frag,
+            "HTTPS://WWW.WWW.B.Example:443/P/" + utm + frag,
+        ]
+    df = spark.createDataFrame([(u,) for u in base + stacked], "url string")
+    once = df.select(urlnorm.canonical_url("url").alias("c1"))
+    twice = once.select("c1", urlnorm.canonical_url("c1").alias("c2"))
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert not bad, [ (r["c1"], r["c2"]) for r in bad ]
