@@ -254,6 +254,9 @@ def run_bench() -> dict:
         # domain-level curation rollup: per-host quality/volume stats
         # (fixed-point mean quality) over the extracted pages
         "host_quality": lambda s, _: webgraph.host_quality(_synth_pages(s)),
+        # crawl-compliance lane: noindex/nofollow flags, one codegen
+        # regex over the page scan (measures ~the scan itself)
+        "robots_gate": lambda s, _: webgraph.robots_directives(_synth_pages(s)),
     }
     extras: dict[str, float] = {}
     for name, fn in extras_fns.items():

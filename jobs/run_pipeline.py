@@ -41,6 +41,11 @@ def main() -> int:
                     help="union the web-mined anchor-text alias dictionary "
                     "(webgraph.anchor_alias_dim over the same pages scan) "
                     "into the linking dictionary")
+    ap.add_argument("--honor-robots", action="store_true",
+                    help="crawl compliance: drop pages carrying a "
+                    "noindex robots meta before extraction "
+                    "(webgraph.indexable_pages — a map-local predicate "
+                    "on the page scan, no shuffle)")
     ap.add_argument("--min-host-quality", type=int,
                     help="domain block-list gate: drop every page from "
                     "hosts whose mean quality (integer micros, "
@@ -69,6 +74,10 @@ def main() -> int:
         pages = read_pages(spark, args.input)
     else:
         pages = synth_pages_df(spark, args.pages)
+    if args.honor_robots:
+        from ner_app_spark.operators import webgraph
+
+        pages = webgraph.indexable_pages(pages)
     host_gate = None
     if args.min_host_quality is not None:
         from pyspark.sql import functions as F

@@ -36,6 +36,9 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--workdir", help="reliable-checkpoint root (resume)")
     ap.add_argument("--parts", type=int, default=32)
+    ap.add_argument("--honor-robots", action="store_true",
+                    help="crawl compliance: pages carrying a nofollow "
+                    "robots meta contribute no link-graph edges")
     args = ap.parse_args()
 
     from ner_app_spark.operators import webgraph
@@ -53,7 +56,7 @@ def main() -> int:
     else:
         pages = synth_pages_df(spark, args.pages)
 
-    edges = webgraph.host_edges(pages)
+    edges = webgraph.host_edges(pages, honor_nofollow=args.honor_robots)
     # one materialization: ranks consume the edge table, not the page scan
     edges.write.mode("overwrite").parquet(f"{args.output}/edges")
     edges = spark.read.parquet(f"{args.output}/edges")

@@ -52,13 +52,20 @@ def page_links(pages: DataFrame) -> DataFrame:
     )
 
 
-def host_edges(pages: DataFrame) -> DataFrame:
+def host_edges(pages: DataFrame, honor_nofollow: bool = False) -> DataFrame:
     """(src, dst, n_links): the weighted host-level link graph.
 
     Self-host edges are dropped (intra-site navigation is not an
     endorsement signal); multi-links between the same host pair keep
-    their multiplicity in ``n_links``.
+    their multiplicity in ``n_links``. With ``honor_nofollow``, pages
+    carrying a ``nofollow`` robots meta contribute no edges (the
+    compliance semantics; a map-local predicate on the same scan) —
+    default off so the pinned registry/oracle rows measure the raw
+    graph.
     """
+    if honor_nofollow:
+        content = F.regexp_extract(F.col("html").cast("string"), ROBOTS_RE, 1)
+        pages = pages.filter(~F.contains(content, F.lit("nofollow")))
     links = page_links(pages)
     return (
         links.select(
@@ -190,6 +197,38 @@ def host_pagerank(pages: DataFrame, iters: int = 6, **kw) -> DataFrame:
         **kw,
     )
     return ranks.withColumnRenamed("entity", "host")
+
+
+#: robots meta directive — same double-quoted-attribute shape as HREF_RE,
+#: backslash/single-quote-free so the DuckDB oracle replays it verbatim
+ROBOTS_RE = '<meta name="robots" content="([^"]*)"'
+
+
+def robots_directives(pages: DataFrame) -> DataFrame:
+    """(url, noindex, nofollow): per-page robots meta directives — the
+    crawl-compliance gate. Common-Crawl-style processing honors page
+    opt-outs: ``noindex`` pages must not enter the corpus, ``nofollow``
+    pages contribute no link-graph edges. Pages without the meta (and
+    text/plain payloads, which match nothing) default to
+    indexable/followable — the crawl convention.
+
+    Pure codegen: one regexp_extract over the page scan fused into
+    whatever else reads it, plus two substring tests; no shuffle at all.
+    At 10^12 pages this is a free rider on the extraction scan."""
+    content = F.regexp_extract(F.col("html").cast("string"), ROBOTS_RE, 1)
+    return pages.select(
+        "url",
+        F.contains(content, F.lit("noindex")).alias("noindex"),
+        F.contains(content, F.lit("nofollow")).alias("nofollow"),
+    )
+
+
+def indexable_pages(pages: DataFrame) -> DataFrame:
+    """Pages minus the ``noindex`` opt-outs — the compliance filter a
+    curation pipeline applies before extraction (map-local predicate on
+    the scan; no join, no shuffle)."""
+    content = F.regexp_extract(F.col("html").cast("string"), ROBOTS_RE, 1)
+    return pages.filter(~F.contains(content, F.lit("noindex")))
 
 
 def host_quality(pages: DataFrame, low_quality: float = 0.5) -> DataFrame:

@@ -1086,6 +1086,26 @@ FROM perdoc JOIN docs USING (doc_id)
 GROUP BY 1"""
 
 
+def _robots_gate_sql(n_pages: int) -> str:
+    """q_robots_gate replayed: the same robots-meta regex
+    (webgraph.ROBOTS_RE, backslash/single-quote-free) over the inlined
+    synth pages; no-match extracts '' in both engines, and contains()
+    on '' is FALSE — the indexable/followable default."""
+    from .operators.webgraph import ROBOTS_RE
+    from .synth import synth_pages
+
+    vals = ",\n".join(
+        f"({_sql_lit(p['url'])}, {_sql_lit(p['html'].decode('utf-8'))})"
+        for p in synth_pages(n_pages)
+    )
+    return f"""
+WITH rawpages(url, html) AS (VALUES {vals}),
+r AS (SELECT url, regexp_extract(html, '{ROBOTS_RE}', 1) AS c FROM rawpages)
+SELECT url, contains(c, 'noindex') AS noindex,
+       contains(c, 'nofollow') AS nofollow
+FROM r"""
+
+
 def _warc_roundtrip_sql(n_pages: int) -> str:
     """q_warc_roundtrip replayed: the expected per-url html BYTE length
     (strlen = octets in DuckDB; the html is multi-byte UTF-8) and lang
@@ -1889,6 +1909,7 @@ FROM injected
     "anchor_aliases": _anchor_aliases_sql(200),
     "anchor_alias_dim": _anchor_alias_dim_sql(200),
     "host_quality": _host_quality_sql(200),
+    "robots_gate": _robots_gate_sql(200),
     # kmeans_clusters is rendered at call time in oracle_sql_map (the
     # trained codebook inlines from the parity sf dir, same as ivf_topk)
 }

@@ -1252,6 +1252,13 @@ def q_host_quality(spark, sf_dir):
     return webgraph.host_quality(_pages_for(spark, sf_dir))
 
 
+def q_robots_gate(spark, sf_dir):
+    # crawl-compliance lane: per-page robots meta directives (noindex /
+    # nofollow), pure codegen over the page scan — the opt-out gate a
+    # Common-Crawl-style pipeline applies before extraction
+    return webgraph.robots_directives(_pages_for(spark, sf_dir))
+
+
 def q_anchor_aliases(spark, sf_dir):
     # anchor-text alias mining over the web link layer: the candidate
     # alias dictionary for entity linking. n_src_hosts runs through the
@@ -1481,4 +1488,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_aliases": q_anchor_aliases,
     "anchor_alias_dim": q_anchor_alias_dim,
     "host_quality": q_host_quality,
+    "robots_gate": q_robots_gate,
 }

@@ -82,16 +82,22 @@ def _make_paragraph(rng: random.Random, surfaces: list[str], weights: list[float
 
 
 def _make_html(
-    url: str, paragraphs: list[str], outlinks: list[str] | None = None
+    url: str,
+    paragraphs: list[str],
+    outlinks: list[str] | None = None,
+    robots: str | None = None,
 ) -> bytes:
     body = "\n".join(f"<p>{html_mod.escape(p, quote=False)}</p>" for p in paragraphs)
     footer = "".join(
         f'<a href="{u}">ref{k}</a> ' for k, u in enumerate(outlinks or [])
     )
+    meta = f'<meta name="robots" content="{robots}">' if robots else ""
     page = (
         "<html><head><title>"
         + html_mod.escape(url, quote=False)
-        + "</title><style>body{font-size:1em;color:#222}</style></head><body>"
+        + "</title>"
+        + meta
+        + "<style>body{font-size:1em;color:#222}</style></head><body>"
         + '<nav><a href="/">home</a> | <a href="/about">about</a></nav>\n'
         + body
         + (f"\n<footer>{footer}</footer>" if footer else "")
@@ -141,7 +147,16 @@ def synth_page(i: int, seed: int = 42) -> dict:
     if rng.random() < 0.1:
         html_bytes = text.encode("utf-8")  # text/plain path (views.py:57)
     else:
-        html_bytes = _make_html(url, paragraphs, page_outlinks(i))
+        # deterministic robots directives — a pure function of i (no rng
+        # draws, so the text/lang/paragraph stream of every page is
+        # bit-identical to pre-robots synth): ~1/13 of html pages opt out
+        # of indexing, a further 1/17 are nofollow-only
+        robots = (
+            "noindex,nofollow"
+            if i % 13 == 0
+            else ("nofollow" if i % 17 == 0 else None)
+        )
+        html_bytes = _make_html(url, paragraphs, page_outlinks(i), robots)
     return {"url": url, "warc_ts": warc_ts, "html": html_bytes, "text": text, "lang": lang}
 
 

@@ -357,3 +357,20 @@ def test_run_pipeline_host_quality_gate(pyfiles_zip, spark):
     }
     assert got["documents"] == expected_docs
     assert 0 < got["documents"] < N_PAGES
+
+
+def test_run_pipeline_honor_robots(pyfiles_zip, spark):
+    """--honor-robots drops exactly the noindex pages before extraction."""
+    from ner_app_spark.synth import synth_pages
+
+    expected_docs = sum(
+        1
+        for i, p in enumerate(synth_pages(N_PAGES))
+        if not (bytes(p["html"]).startswith(b"<html") and i % 13 == 0)
+    )
+    got = _submit(
+        pyfiles_zip, "run_pipeline.py",
+        "--pages", str(N_PAGES), "--parts", "8", "--honor-robots",
+    )
+    assert got["documents"] == expected_docs
+    assert 0 < got["documents"] < N_PAGES

@@ -304,3 +304,62 @@ def test_host_quality_rollup_semantics(spark):
         # accumulated rounding per page
         assert abs(r["mean_quality_micros"] - agg[h][2] / r["n_pages"]) <= r["n_pages"]
         assert r["low_quality_pages"] == agg[h][3]
+
+
+def test_robots_directives_match_generator(spark):
+    """Per-page robots flags recover exactly the deterministic directives
+    the synthesizer authored: html pages at i % 13 == 0 are
+    noindex,nofollow; a further i % 17 == 0 are nofollow-only; everything
+    else (incl. text/plain payloads, which carry no meta) defaults to
+    indexable/followable."""
+    n = 120
+    got = {
+        r["url"]: (r["noindex"], r["nofollow"])
+        for r in webgraph.robots_directives(_pages(spark, n)).collect()
+    }
+    assert len(got) == n
+    for i, p in enumerate(synth_pages(n)):
+        if not bytes(p["html"]).startswith(b"<html"):
+            expected = (False, False)
+        elif i % 13 == 0:
+            expected = (True, True)
+        elif i % 17 == 0:
+            expected = (False, True)
+        else:
+            expected = (False, False)
+        assert got[p["url"]] == expected, (i, p["url"])
+
+
+def test_host_edges_honor_nofollow(spark):
+    """honor_nofollow drops exactly the nofollow pages' link
+    contributions; the raw default is unchanged."""
+    n = 120
+    raw = webgraph.host_edges(_pages(spark, n))
+    gated = webgraph.host_edges(_pages(spark, n), honor_nofollow=True)
+    raw_total = raw.agg(F.sum("n_links")).first()[0]
+    gated_total = gated.agg(F.sum("n_links")).first()[0]
+    # expected: recompute from the generator — cross-host outlinks of
+    # html pages that are NOT nofollow
+    def cross_host(i, p):
+        host = p["url"].split("/")[2]
+        return [u for u in page_outlinks(i) if u.split("/")[2] != host]
+
+    exp_raw = exp_gated = 0
+    for i, p in enumerate(synth_pages(n)):
+        if not bytes(p["html"]).startswith(b"<html"):
+            continue
+        k = len(cross_host(i, p))
+        exp_raw += k
+        if not (i % 13 == 0 or i % 17 == 0):
+            exp_gated += k
+    assert raw_total == exp_raw
+    assert gated_total == exp_gated
+    assert gated_total < raw_total
+
+
+def test_indexable_pages_filter(spark):
+    n = 120
+    kept = {r["url"] for r in webgraph.indexable_pages(_pages(spark, n)).select("url").collect()}
+    for i, p in enumerate(synth_pages(n)):
+        is_html = bytes(p["html"]).startswith(b"<html")
+        assert (p["url"] not in kept) == (is_html and i % 13 == 0), i
