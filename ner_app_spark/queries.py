@@ -1457,7 +1457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_links": q_kg_links,
     "kg_canonical": q_kg_canonical,
     "multimodal_features": q_multimodal_features,
-    # -------- past the driver's 50-entry evaluation window (51-63) --------
+    # -------- past the driver's 50-entry evaluation window (51-71) --------
     # Everything below stays fully implemented + DuckDB-hash-oracled; the
     # full-registry sweep tests/test_oracle_parity.py enforces all of it
     # at sf0.01 — only the DRIVER's CORRECTNESS file does not show these
@@ -1467,7 +1467,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the KG / co-occurrence graph. 59-61: the TPC-H-shaped join/agg
     # rows rotated out in round 5. 62-63: the redundant-in-window dedup
     # teaching variants rotated out in round 5 (see the rotation note
-    # above).
+    # above). 64-71: the late-round-5 web-structure + crawl-curation
+    # layer (host link graph / host PageRank / WARC roundtrip / URL
+    # canonicalization / anchor-alias mining + dim / host quality
+    # rollup / robots compliance).
     "streaming_dedup": q_streaming_dedup,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_triples": q_streaming_triples,
