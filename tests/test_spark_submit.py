@@ -374,3 +374,58 @@ def test_run_pipeline_honor_robots(pyfiles_zip, spark):
     )
     assert got["documents"] == expected_docs
     assert 0 < got["documents"] < N_PAGES
+
+
+def test_operational_jobs_via_spark_submit(pyfiles_zip, tmp_path, spark):
+    """The five remaining operational entrypoints launch through a real
+    spark-submit: incremental ingestion over an icelite pages table,
+    table maintenance over its outputs, an equality-delete takedown on
+    the triples table, the web-graph job (with --honor-robots), and the
+    streaming job. Counts pin the 100-page corpus."""
+    from ner_app_spark.sources.pages import synth_pages_df
+    from ner_app_spark.tables.icelite import IceTable
+
+    root = str(tmp_path)
+    IceTable.create(
+        spark, f"{root}/pages_ice", synth_pages_df(spark, 100), target_files=2
+    )
+
+    inc = _submit(
+        pyfiles_zip, "run_incremental.py",
+        "--pages-table", f"{root}/pages_ice", "--output", f"{root}/inc",
+        "--parts", "8",
+    )
+    assert inc["pages"] == 100 and inc["triples"] > 0
+    assert set(inc["tables_caught_up"]) == {"phrases", "triples", "links"}
+
+    maint = _submit(
+        pyfiles_zip, "run_maintenance.py",
+        "--root", f"{root}/inc", "--clean-orphans",
+    )
+    assert set(maint["tables"]) == {"phrases", "triples", "links"}
+
+    t = IceTable(f"{root}/inc/triples")
+    df, _ = t.scan(spark)
+    df.select("url").distinct().limit(3).write.parquet(f"{root}/keys")
+    take = _submit(
+        pyfiles_zip, "run_takedown.py",
+        "--table", f"{root}/inc/triples", "--keys", f"{root}/keys",
+        "--report-rows",
+    )
+    assert take["keys_deleted"] == 3
+    assert take["rows_removed"] > 0
+    assert take["rows_after"] == take["rows_before"] - take["rows_removed"]
+
+    wg = _submit(
+        pyfiles_zip, "run_webgraph.py",
+        "--pages", "100", "--output", f"{root}/wg", "--honor-robots",
+        "--parts", "8",
+    )
+    assert wg["n_hosts"] == 50 and wg["n_edges"] > 0
+
+    st = _submit(
+        pyfiles_zip, "run_stream.py",
+        "--synth", "60", "--chunks", "3", "--sink", f"{root}/stream_sink",
+        "--checkpoint", f"{root}/stream_ckpt", "--parts", "4",
+    )
+    assert st["triples"] == N_TRIPLES  # same 60-page corpus as entry()
