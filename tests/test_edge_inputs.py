@@ -51,3 +51,28 @@ def test_lang_gate_drops_everything(spark):
     assert counters["phrases"] == 0 and counters["triples"] == 0
     assert counters["links"] == 0 and counters["edges"] == 0
     out.cleanup()
+
+
+def test_zero_pages_web_curation_ops(spark):
+    """The web-curation layer's operators all yield empty typed frames
+    (never exceptions) on zero pages — and on a pages frame whose every
+    payload is text/plain (no html to match)."""
+    from pyspark.sql import functions as F
+
+    from ner_app_spark.operators import urlnorm, webgraph
+
+    empty = synth_pages_df(spark, 0, num_partitions=2)
+    assert webgraph.host_quality(empty).count() == 0
+    assert webgraph.robots_directives(empty).count() == 0
+    assert webgraph.indexable_pages(empty).count() == 0
+    assert webgraph.host_edges(empty, honor_nofollow=True).count() == 0
+    assert webgraph.anchor_aliases(empty).count() == 0
+    assert urlnorm.normalize_urls(empty.select("url")).count() == 0
+
+    plain = synth_pages_df(spark, 30).withColumn(
+        "html", F.encode(F.col("text"), "UTF-8")
+    )
+    assert webgraph.host_edges(plain).count() == 0  # no anchors anywhere
+    assert webgraph.indexable_pages(plain).count() == 30  # nothing opts out
+    hq = webgraph.host_quality(plain)
+    assert hq.agg(F.sum("plain_pages")).first()[0] == 30
