@@ -257,6 +257,8 @@ def run_bench() -> dict:
         # crawl-compliance lane: noindex/nofollow flags, one codegen
         # regex over the page scan (measures ~the scan itself)
         "robots_gate": lambda s, _: webgraph.robots_directives(_synth_pages(s)),
+        # the domain decision table: quality rollup ⋈ PageRank prior
+        "domain_table": lambda s, _: webgraph.domain_table(_synth_pages(s), iters=6),
     }
     extras: dict[str, float] = {}
     for name, fn in extras_fns.items():

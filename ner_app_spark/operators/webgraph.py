@@ -337,3 +337,37 @@ def host_quality(pages: DataFrame, low_quality: float = 0.5) -> DataFrame:
         "mean_quality_micros",
         "low_quality_pages",
     )
+
+
+def domain_table(
+    pages: DataFrame, iters: int = 6, low_quality: float = 0.5
+) -> DataFrame:
+    """The domain decision table: ``host_quality`` LEFT-joined with the
+    ``host_pagerank`` importance prior on host — quality × importance
+    per domain, the single frame a crawl-curation gate ranks, samples,
+    and block-lists domains from (high-rank low-quality hosts are the
+    classic spam signature; low-rank high-quality hosts are the
+    long-tail worth keeping).
+
+    A corpus host with no cross-host links carries ``rank_scaled`` 0:
+    it earned no importance prior (COALESCE, exact integers — the row
+    stays hash-verifiable). Both inputs aggregate to O(hosts) rows
+    before the join, so the join itself is host-sized regardless of
+    corpus scale."""
+    ranks = host_pagerank(pages, iters=iters).select("host", "rank_scaled")
+    return (
+        host_quality(pages, low_quality=low_quality)
+        .join(ranks, "host", "left")
+        .select(
+            "host",
+            "n_pages",
+            "plain_pages",
+            "n_tokens",
+            "n_chars",
+            "mean_quality_micros",
+            "low_quality_pages",
+            F.coalesce(F.col("rank_scaled"), F.lit(0))
+            .cast("long")
+            .alias("rank_scaled"),
+        )
+    )

@@ -1015,8 +1015,12 @@ def _host_edge_ctes(n_pages: int) -> str:
         f"({_sql_lit(p['url'])}, {_sql_lit(p['html'].decode('utf-8'))})"
         for p in synth_pages(n_pages)
     )
-    return f"""rawpages(url, html) AS (VALUES {vals}),
-hl AS (SELECT url AS src_url,
+    return f"rawpages(url, html) AS (VALUES {vals}),\n" + _EDGE_CTES_BODY
+
+
+#: the href/host extraction chain over a ``rawpages(url, html)`` CTE —
+#: shared by _host_edge_ctes and _domain_table_sql
+_EDGE_CTES_BODY = """hl AS (SELECT url AS src_url,
               unnest(regexp_extract_all(html, '<a href="(https?://[^"]+)"', 1)) AS href
        FROM rawpages),
 hh AS (SELECT regexp_extract(src_url, 'https?://([^/]+)', 1) AS src,
@@ -1024,6 +1028,34 @@ hh AS (SELECT regexp_extract(src_url, 'https?://([^/]+)', 1) AS src,
        FROM hl),
 hedge AS (SELECT src, dst, COUNT(*) AS n_links FROM hh
           WHERE src <> dst GROUP BY src, dst)"""
+
+
+def _directed_pr_ctes(iters: int, scale: int) -> list[str]:
+    """The unrolled directed fixed-point PageRank CTE list over a
+    ``hedge(src, dst, n_links)`` CTE — shared by _host_pagerank_sql and
+    _domain_table_sql. Ends with r{iters}(node, rank_scaled)."""
+    ctes = [
+        "dedges AS (SELECT DISTINCT src, dst FROM hedge),",
+        "deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM dedges GROUP BY src),",
+        "prnodes AS (SELECT src AS node FROM dedges UNION SELECT dst FROM dedges),",
+        "cnt AS (SELECT COUNT(*) AS n FROM prnodes),",
+        f"r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS rank_scaled"
+        " FROM prnodes CROSS JOIN cnt),",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node,\n"
+            "  CAST(SUM((85 * r.rank_scaled) // (100 * d.outdeg)) AS BIGINT) AS c\n"
+            f"  FROM dedges e JOIN r{i - 1} r ON r.node = e.src\n"
+            "  JOIN deg d ON d.node = e.src GROUP BY e.dst),"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nd.node,\n"
+            f"  CAST((15 * {scale}) // (100 * n) + COALESCE(c.c, 0) AS BIGINT)"
+            " AS rank_scaled\n"
+            f"  FROM prnodes nd CROSS JOIN cnt LEFT JOIN c{i} c ON c.node = nd.node),"
+        )
+    return ctes
 
 
 def _host_quality_sql(n_pages: int, low_quality: float = 0.5) -> str:
@@ -1035,18 +1067,55 @@ def _host_quality_sql(n_pages: int, low_quality: float = 0.5) -> str:
     fixed-point host rollup — mean quality accumulates as integer micros
     (round(quality * 1e6) is exact: quality is ROUND(·, 6)), so the
     integer division matches Spark's ``div`` bit-for-bit."""
-    from .operators.textquality import WEB_STOPWORDS, WEB_TOKEN_SQL_RE
     from .synth import synth_pages
 
     vals = ",\n".join(
         f"({_sql_lit(p['url'])}, {_sql_lit(p['html'].decode('utf-8'))})"
         for p in synth_pages(n_pages)
     )
-    wtok = f"regexp_extract_all(lower(text), '{WEB_TOKEN_SQL_RE}')"
-    stop_list = ", ".join(f"'{s}'" for s in WEB_STOPWORDS)
     return f"""
 WITH rawpages(url, html) AS (VALUES {vals}),
-docs AS (
+{_host_quality_ctes(low_quality)}
+SELECT host, n_pages, plain_pages, n_tokens, n_chars,
+       mean_quality_micros, low_quality_pages
+FROM hq"""
+
+
+def _domain_table_sql(
+    n_pages: int, iters: int = 6, scale: int = 10**12, low_quality: float = 0.5
+) -> str:
+    """q_domain_table replayed: the host-quality rollup chain and the
+    directed fixed-point PageRank unroll composed over ONE shared
+    rawpages VALUES CTE, LEFT-joined on host (a corpus host with no
+    cross-host links carries rank 0 — it earns no importance prior)."""
+    from .synth import synth_pages
+
+    vals = ",\n".join(
+        f"({_sql_lit(p['url'])}, {_sql_lit(p['html'].decode('utf-8'))})"
+        for p in synth_pages(n_pages)
+    )
+    pr = "\n".join(_directed_pr_ctes(iters, scale)).rstrip(",")
+    return f"""
+WITH rawpages(url, html) AS (VALUES {vals}),
+{_host_quality_ctes(low_quality)},
+{_EDGE_CTES_BODY},
+{pr}
+SELECT hq.host, n_pages, plain_pages, n_tokens, n_chars,
+       mean_quality_micros, low_quality_pages,
+       CAST(COALESCE(r.rank_scaled, 0) AS BIGINT) AS rank_scaled
+FROM hq LEFT JOIN r{iters} r ON r.node = hq.host"""
+
+
+def _host_quality_ctes(low_quality: float = 0.5) -> str:
+    """The per-host quality rollup CTE chain over a ``rawpages(url,
+    html)`` CTE, ending in ``hq(host, n_pages, plain_pages, n_tokens,
+    n_chars, mean_quality_micros, low_quality_pages)`` — shared by
+    _host_quality_sql and _domain_table_sql."""
+    from .operators.textquality import WEB_STOPWORDS, WEB_TOKEN_SQL_RE
+
+    wtok = f"regexp_extract_all(lower(text), '{WEB_TOKEN_SQL_RE}')"
+    stop_list = ", ".join(f"'{s}'" for s in WEB_STOPWORDS)
+    return f"""docs AS (
   SELECT url AS doc_id,
          CASE WHEN NOT starts_with(html, '<html') THEN html
               ELSE replace(replace(replace(
@@ -1074,16 +1143,17 @@ perdoc AS (
            + CASE WHEN n_tokens > 0 THEN COALESCE(n_stop, 0) / n_tokens ELSE 0.0 END * 0.3
            + (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0)) * 0.2,
            6) AS quality
-  FROM base b LEFT JOIN stops USING (doc_id))
-SELECT regexp_extract(doc_id, 'https?://([^/]+)', 1) AS host,
-       CAST(COUNT(*) AS BIGINT) AS n_pages,
-       CAST(SUM(is_plain) AS BIGINT) AS plain_pages,
-       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-       CAST(SUM(CAST(round(quality * 1000000) AS BIGINT)) // COUNT(*) AS BIGINT) AS mean_quality_micros,
-       CAST(SUM(CASE WHEN quality < {low_quality} THEN 1 ELSE 0 END) AS BIGINT) AS low_quality_pages
-FROM perdoc JOIN docs USING (doc_id)
-GROUP BY 1"""
+  FROM base b LEFT JOIN stops USING (doc_id)),
+hq AS (
+  SELECT regexp_extract(doc_id, 'https?://([^/]+)', 1) AS host,
+         CAST(COUNT(*) AS BIGINT) AS n_pages,
+         CAST(SUM(is_plain) AS BIGINT) AS plain_pages,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         CAST(SUM(CAST(round(quality * 1000000) AS BIGINT)) // COUNT(*) AS BIGINT) AS mean_quality_micros,
+         CAST(SUM(CASE WHEN quality < {low_quality} THEN 1 ELSE 0 END) AS BIGINT) AS low_quality_pages
+  FROM perdoc JOIN docs USING (doc_id)
+  GROUP BY 1)"""
 
 
 def _robots_gate_sql(n_pages: int) -> str:
@@ -1239,28 +1309,7 @@ def _host_pagerank_sql(n_pages: int, iters: int = 6, scale: int = 10**12) -> str
     node set = src UNION dst, rank flows along edge direction only, and
     dangling hosts (no outlinks) receive base + in-contributions but
     propagate nothing (the pinned evaporating-dangling-mass semantics)."""
-    ctes = [
-        f"WITH {_host_edge_ctes(n_pages)},",
-        "dedges AS (SELECT DISTINCT src, dst FROM hedge),",
-        "deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM dedges GROUP BY src),",
-        "nodes AS (SELECT src AS node FROM dedges UNION SELECT dst FROM dedges),",
-        "cnt AS (SELECT COUNT(*) AS n FROM nodes),",
-        f"r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS rank_scaled"
-        " FROM nodes CROSS JOIN cnt),",
-    ]
-    for i in range(1, iters + 1):
-        ctes.append(
-            f"c{i} AS (SELECT e.dst AS node,\n"
-            "  CAST(SUM((85 * r.rank_scaled) // (100 * d.outdeg)) AS BIGINT) AS c\n"
-            f"  FROM dedges e JOIN r{i - 1} r ON r.node = e.src\n"
-            "  JOIN deg d ON d.node = e.src GROUP BY e.dst),"
-        )
-        ctes.append(
-            f"r{i} AS (SELECT nd.node,\n"
-            f"  CAST((15 * {scale}) // (100 * n) + COALESCE(c.c, 0) AS BIGINT)"
-            " AS rank_scaled\n"
-            f"  FROM nodes nd CROSS JOIN cnt LEFT JOIN c{i} c ON c.node = nd.node),"
-        )
+    ctes = [f"WITH {_host_edge_ctes(n_pages)},"] + _directed_pr_ctes(iters, scale)
     body = "\n".join(ctes).rstrip(",") + "\n"
     return (
         body
@@ -1910,6 +1959,7 @@ FROM injected
     "anchor_alias_dim": _anchor_alias_dim_sql(200),
     "host_quality": _host_quality_sql(200),
     "robots_gate": _robots_gate_sql(200),
+    "domain_table": _domain_table_sql(200, iters=6),
     # kmeans_clusters is rendered at call time in oracle_sql_map (the
     # trained codebook inlines from the parity sf dir, same as ivf_topk)
 }

@@ -1252,6 +1252,14 @@ def q_host_quality(spark, sf_dir):
     return webgraph.host_quality(_pages_for(spark, sf_dir))
 
 
+def q_domain_table(spark, sf_dir):
+    # the domain decision table: host_quality × host_pagerank on host —
+    # quality + importance per domain in one frame (both inputs are
+    # host-sized aggregates before the join). Eager: pagerank's barrier
+    # localCheckpoints run at construction -> memoized like host_pagerank.
+    return webgraph.domain_table(_pages_for(spark, sf_dir), iters=6)
+
+
 def q_robots_gate(spark, sf_dir):
     # crawl-compliance lane: per-page robots meta directives (noindex /
     # nofollow), pure codegen over the page scan — the opt-out gate a
@@ -1372,6 +1380,7 @@ q_entity_pagerank = _eager_once(q_entity_pagerank)
 q_bfs_hops = _eager_once(q_bfs_hops)
 q_kmeans_clusters = _eager_once(q_kmeans_clusters)
 q_host_pagerank = _eager_once(q_host_pagerank)
+q_domain_table = _eager_once(q_domain_table)
 
 
 # 67 entries, the FIRST 50 of which are the driver-evaluated window: the
@@ -1457,7 +1466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_links": q_kg_links,
     "kg_canonical": q_kg_canonical,
     "multimodal_features": q_multimodal_features,
-    # -------- past the driver's 50-entry evaluation window (51-71) --------
+    # -------- past the driver's 50-entry evaluation window (51-72) --------
     # Everything below stays fully implemented + DuckDB-hash-oracled; the
     # full-registry sweep tests/test_oracle_parity.py enforces all of it
     # at sf0.01 — only the DRIVER's CORRECTNESS file does not show these
@@ -1467,10 +1476,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the KG / co-occurrence graph. 59-61: the TPC-H-shaped join/agg
     # rows rotated out in round 5. 62-63: the redundant-in-window dedup
     # teaching variants rotated out in round 5 (see the rotation note
-    # above). 64-71: the late-round-5 web-structure + crawl-curation
+    # above). 64-72: the late-round-5 web-structure + crawl-curation
     # layer (host link graph / host PageRank / WARC roundtrip / URL
     # canonicalization / anchor-alias mining + dim / host quality
-    # rollup / robots compliance).
+    # rollup / robots compliance / domain decision table).
     "streaming_dedup": q_streaming_dedup,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_triples": q_streaming_triples,
@@ -1492,4 +1501,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_alias_dim": q_anchor_alias_dim,
     "host_quality": q_host_quality,
     "robots_gate": q_robots_gate,
+    "domain_table": q_domain_table,
 }

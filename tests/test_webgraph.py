@@ -363,3 +363,34 @@ def test_indexable_pages_filter(spark):
     for i, p in enumerate(synth_pages(n)):
         is_html = bytes(p["html"]).startswith(b"<html")
         assert (p["url"] not in kept) == (is_html and i % 13 == 0), i
+
+
+def test_domain_table_joins_quality_and_rank(spark):
+    """domain_table == host_quality ⋈ host_pagerank per host on the synth
+    fixture; a crafted corpus host with NO cross-host links gets the
+    COALESCE'd rank 0 (it earned no importance prior)."""
+    n = 60
+    dt = {r["host"]: r for r in webgraph.domain_table(_pages(spark, n), iters=4).collect()}
+    hq = {r["host"]: r for r in webgraph.host_quality(_pages(spark, n)).collect()}
+    pr = {
+        r["host"]: r["rank_scaled"]
+        for r in webgraph.host_pagerank(_pages(spark, n), iters=4).collect()
+    }
+    assert set(dt) == set(hq)
+    for h, r in dt.items():
+        assert r["n_pages"] == hq[h]["n_pages"]
+        assert r["mean_quality_micros"] == hq[h]["mean_quality_micros"]
+        assert r["rank_scaled"] == pr.get(h, 0)
+
+    # isolated host: pages but no cross-host anchors -> rank 0, quality real
+    iso = _mk_pages(
+        spark,
+        [
+            ("https://lonely.example/p1", "<html><body><p>Alone here.</p></body></html>"),
+            ("https://lonely.example/p2", "plain text no anchors"),
+        ],
+    )
+    row = {r["host"]: r for r in webgraph.domain_table(iso, iters=2).collect()}
+    assert row["lonely.example"]["rank_scaled"] == 0
+    assert row["lonely.example"]["n_pages"] == 2
+    assert row["lonely.example"]["plain_pages"] == 1
