@@ -214,6 +214,25 @@ def run_bench() -> dict:
             s.read.parquet(f"{SF_DIR}/embeddings.parquet")
         )
 
+    def _bench_fetch_log(s):
+        from pyspark.sql import functions as F
+
+        from ner_app_spark.operators import fetchlog
+
+        pages = _synth_pages(s).select("url", "warc_ts", "text")
+        pn = F.regexp_extract("url", "page/([0-9]+)", 1).cast("int")
+        re1 = pages.filter(pn % 7 == 0).select(
+            "url",
+            (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+            F.concat("text", F.lit(" (rev2)")).alias("text"),
+        )
+        re2 = pages.filter(pn % 21 == 0).select(
+            "url",
+            (F.col("warc_ts") + F.expr("INTERVAL 2 DAY")).alias("warc_ts"),
+            F.concat("text", F.lit(" (rev3)")).alias("text"),
+        )
+        return fetchlog.latest_fetches(pages.unionByName(re1).unionByName(re2))
+
     extras_fns: dict[str, object] = {
         "dup_clusters_1k": lambda s, _: graphalgo.dup_clusters(
             _docs_1k(s), min_jaccard=0.3
@@ -259,6 +278,17 @@ def run_bench() -> dict:
         "robots_gate": lambda s, _: webgraph.robots_directives(_synth_pages(s)),
         # the domain decision table: quality rollup ⋈ PageRank prior
         "domain_table": lambda s, _: webgraph.domain_table(_synth_pages(s), iters=6),
+        # CDX-style fetch-log rollup over the same page count, with the
+        # registry row's deterministic re-fetch derivation (pn%7/pn%21)
+        "fetch_log_latest": lambda s, _: _bench_fetch_log(s),
+        # frontier scheduling: canonicalized anti-join + salted distinct
+        # referrers + broadcast PageRank prior
+        "crawl_frontier": lambda s, _: webgraph.crawl_frontier(
+            _synth_pages(s), iters=6
+        ),
+        # deterministic TransE negatives over the pipeline's triples
+        # (registry wrapper: extract -> triples -> bucketed slot draw)
+        "kg_negative_samples": QUERIES["kg_negative_samples"],
     }
     extras: dict[str, float] = {}
     for name, fn in extras_fns.items():

@@ -56,3 +56,84 @@ def hash_sample(docs: DataFrame, fraction: float, key: str = "doc_id") -> DataFr
     scan where the key is a stored column."""
     threshold = int(fraction * (1 << 32))
     return docs.filter(_md5_u32_le(F.col(key)) < threshold)
+
+
+def negative_samples(triples: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """(subj, pred, obj, neg_obj): one deterministic corrupted negative
+    per distinct positive triple — the TransE-style training pairs a
+    KG-embedding job consumes downstream of the extraction pipeline.
+
+    Negatives must be (a) reproducible across runs and partitionings
+    (same rule as hash_split: a triple's negative never migrates), and
+    (b) generated WITHOUT a global index — the classic implementation
+    (row_number over the whole entity vocabulary + sampled join) needs a
+    partition-less window, which is exactly the single-reducer sort this
+    repo bans from every registry plan. The scalable shape used here:
+
+    * candidate dim = distinct objects, hashed into ``n_buckets``
+      bucket-local orderings (row_number PARTITIONED by bucket — each
+      bucket sorts independently, no global barrier). O(vocabulary)
+      rows total, shuffled once on bucket.
+    * each triple hashes to a (bucket, rank) slot: ``h = md5-u32(subj,
+      pred, obj)``, bucket = ``h % n_buckets``, rank = ``(h >> log2(B))
+      % bucket_size`` — bucket sizes ride a broadcast of ``n_buckets``
+      rows, and the slot lookup is ONE equi-join on (bucket, rank)
+      against the dim (broadcastable while the vocabulary is small,
+      plain hash join when it is not; never a theta-join).
+    * self-collisions (the drawn candidate IS the true object) fall
+      through to the next rank in the bucket (wrap-around): both slots
+      are emitted per triple with a preference index, the collision is
+      filtered, and ``min_by(cand, pref)`` keeps the preferred survivor
+      — a triple whose bucket holds only its own object yields no
+      negative and drops out (deterministically, in both engines).
+
+    Everything is md5/conv expression work + equi-joins + partitioned
+    windows: the DuckDB oracle (oracles._kg_negative_samples_sql)
+    replays every step bit-exactly over the same inlined pages.
+    """
+    shift = n_buckets.bit_length() - 1
+    if (1 << shift) != n_buckets:
+        raise ValueError("n_buckets must be a power of two")
+    from pyspark.sql.window import Window
+
+    pos = triples.select("subj", "pred", "obj").distinct()
+    ents = pos.select(F.col("obj").alias("cand")).distinct()
+    dim = ents.withColumn("bucket", _md5_u32_le(F.col("cand")) % n_buckets)
+    w = Window.partitionBy("bucket").orderBy("cand")
+    dim = dim.select(
+        "bucket", "cand", (F.row_number().over(w) - 1).alias("rk")
+    )
+    sizes = dim.groupBy("bucket").agg(F.count("*").alias("bsz"))
+    h = _md5_u32_le(F.concat_ws("\x1f", "subj", "pred", "obj"))
+    t = (
+        pos.withColumn("tb", h % n_buckets)
+        .withColumn("hr", F.shiftright(h, shift))
+        .join(F.broadcast(sizes), F.col("tb") == F.col("bucket"))
+        .withColumn("tr", F.col("hr") % F.col("bsz"))
+    )
+    slots = t.select(
+        "subj",
+        "pred",
+        "obj",
+        "tb",
+        F.explode(
+            F.array(
+                F.struct(F.col("tr").alias("slot"), F.lit(0).alias("pref")),
+                F.struct(
+                    ((F.col("tr") + 1) % F.col("bsz")).alias("slot"),
+                    F.lit(1).alias("pref"),
+                ),
+            )
+        ).alias("s"),
+    ).select("subj", "pred", "obj", "tb", "s.slot", "s.pref")
+    cand = (
+        slots.join(
+            dim,
+            (dim.bucket == slots.tb) & (dim.rk == slots.slot),
+        )
+        .filter(F.col("cand") != F.col("obj"))
+        .select("subj", "pred", "obj", "cand", "pref")
+    )
+    return cand.groupBy("subj", "pred", "obj").agg(
+        F.min_by("cand", "pref").alias("neg_obj")
+    )

@@ -371,3 +371,71 @@ def domain_table(
             .alias("rank_scaled"),
         )
     )
+
+
+def crawl_frontier(pages: DataFrame, iters: int = 6) -> DataFrame:
+    """(url_canon, host, n_ref_pages, n_ref_hosts, priority_scaled):
+    the crawl frontier — every canonicalized outlink target NOT already
+    in the crawled set, with its referrer evidence and an integer fetch
+    priority. This is the scheduling table a 10^12-page crawl loop
+    feeds back to its fetchers: what to fetch next, and in what order.
+
+    Shape, stage by stage (all decisions are the 100-TB ones):
+
+    * hrefs come off the page scan map-local (``page_links``), and each
+      target is canonicalized in the same codegen projection
+      (urlnorm.canonical_url) — frontier keys MUST be canonical or the
+      crawl re-fetches every spelling of every url.
+    * "already crawled" is a LEFT ANTI join against the canonicalized
+      crawled-url set: null-safe, set-semantics, and Spark builds the
+      hash table on the (smaller) crawled side per partition after both
+      sides exchange on url_canon — the exchange the groupBy below
+      needs anyway, so AQE reuses it rather than adding one.
+    * referrer evidence aggregates per target: total referring links
+      and DISTINCT referring hosts via the same two-phase salted
+      distinct the anchor miner uses (operators/skew.py) — frontier
+      targets are exactly as skewed as web in-links (a hub homepage
+      collects millions of referrers; salting spreads its distinct-set
+      build over n_salts reducers, exact by construction).
+    * the priority prior is the directed host PageRank of the TARGET
+      host, an O(hosts) frame broadcast onto the O(frontier) aggregate;
+      ``priority_scaled = n_ref_hosts * rank_scaled + n_ref_pages`` in
+      exact long arithmetic (hash-verifiable; rank 0 for hosts the
+      crawled graph has never endorsed — COALESCE, never null).
+
+    The reference app has no crawl loop (single pasted document,
+    /root/reference/src/routers/views.py); this is beyond-reference
+    web-scale infrastructure like the rest of this module.
+    """
+    from .skew import salted_distinct_count
+    from .urlnorm import canonical_url
+
+    links = page_links(pages).select(
+        F.regexp_extract("src_url", HOST_RE, 1).alias("src_host"),
+        canonical_url(F.col("href")).alias("url_canon"),
+    )
+    crawled = pages.select(canonical_url(F.col("url")).alias("url_canon"))
+    frontier = links.join(crawled, "url_canon", "left_anti")
+    agg = salted_distinct_count(
+        frontier,
+        ["url_canon"],
+        "src_host",
+        out="n_ref_hosts",
+        count_out="n_ref_pages",
+    )
+    prior = host_pagerank(pages, iters=iters).select("host", "rank_scaled")
+    return (
+        agg.withColumn("host", F.regexp_extract("url_canon", HOST_RE, 1))
+        .join(F.broadcast(prior), "host", "left")
+        .select(
+            "url_canon",
+            "host",
+            F.col("n_ref_pages").cast("long").alias("n_ref_pages"),
+            F.col("n_ref_hosts").cast("long").alias("n_ref_hosts"),
+            (
+                F.col("n_ref_hosts").cast("long")
+                * F.coalesce(F.col("rank_scaled"), F.lit(0)).cast("long")
+                + F.col("n_ref_pages").cast("long")
+            ).alias("priority_scaled"),
+        )
+    )

@@ -1196,16 +1196,12 @@ SELECT url, CAST(strlen(html) AS BIGINT) AS n_html_bytes, lang,
 FROM rawpages"""
 
 
-def _url_normalize_sql(n_pages: int) -> str:
-    """q_url_normalize replayed: the same deterministic noising (variant
-    = page_number % 6) and the same group-free canonicalization chain
-    (operators/urlnorm.canonical_url steps 1-6), each regexp_replace with
-    the 'g' flag to match Spark's replace-all semantics, run through
-    DuckDB's own regex/string engine over the inlined page urls."""
-    from .synth import synth_pages
-
-    vals = ",\n".join(f"({_sql_lit(p['url'])})" for p in synth_pages(n_pages))
-    canon = "u"
+def _canon_chain(expr: str) -> str:
+    """The urlnorm.canonical_url steps 1-6 as one DuckDB expression over
+    ``expr`` — each regexp_replace with the 'g' flag to match Spark's
+    replace-all semantics. Shared by _url_normalize_sql and
+    _crawl_frontier_sql so both rows replay the IDENTICAL chain."""
+    canon = expr
     for step in (
         "regexp_replace({e}, '#.*', '', 'g')",
         "replace({e}, ':80/', '/')",
@@ -1227,6 +1223,19 @@ def _url_normalize_sql(n_pages: int) -> str:
         "regexp_replace({e}, '/+$', '', 'g')",
     ):
         canon = step.format(e=canon)
+    return canon
+
+
+def _url_normalize_sql(n_pages: int) -> str:
+    """q_url_normalize replayed: the same deterministic noising (variant
+    = page_number % 6) and the same group-free canonicalization chain
+    (operators/urlnorm.canonical_url steps 1-6, via _canon_chain), run
+    through DuckDB's own regex/string engine over the inlined page
+    urls."""
+    from .synth import synth_pages
+
+    vals = ",\n".join(f"({_sql_lit(p['url'])})" for p in synth_pages(n_pages))
+    canon = _canon_chain("u")
     return f"""
 WITH rawurls(url) AS (VALUES {vals}),
 nv AS (SELECT url, CAST(regexp_extract(url, 'page/([0-9]+)', 1) AS INTEGER) % 6 AS v
@@ -1317,6 +1326,103 @@ def _host_pagerank_sql(n_pages: int, iters: int = 6, scale: int = 10**12) -> str
         f"       CAST(rank_scaled AS DOUBLE) / {float(scale)} AS rank\n"
         f"FROM r{iters}"
     )
+
+
+def _fetch_log_latest_sql(n_pages: int) -> str:
+    """q_fetch_log_latest replayed: the synth (url, warc_ts, text) rows
+    inlined as VALUES with TIMESTAMP literals, the same deterministic
+    re-fetch derivation (pn%7 -> +1 day rev2, pn%21 -> +2 days rev3),
+    then the per-url rollup — span as a timestamp DIFFERENCE in whole
+    seconds (timezone-free, exact in both engines) and arg_max replaying
+    Spark's max_by on the latest revision's text."""
+    from .synth import synth_pages
+
+    vals = ",\n".join(
+        f"({_sql_lit(p['url'])}, TIMESTAMP '{p['warc_ts']:%Y-%m-%d %H:%M:%S}',"
+        f" {_sql_lit(p['text'])})"
+        for p in synth_pages(n_pages)
+    )
+    return f"""
+WITH fpages(url, warc_ts, text) AS (VALUES {vals}),
+nv AS (SELECT url, warc_ts, text,
+              CAST(regexp_extract(url, 'page/([0-9]+)', 1) AS INTEGER) AS pn
+       FROM fpages),
+flog AS (
+  SELECT url, warc_ts, text FROM fpages
+  UNION ALL
+  SELECT url, warc_ts + INTERVAL 1 DAY, text || ' (rev2)' FROM nv WHERE pn % 7 = 0
+  UNION ALL
+  SELECT url, warc_ts + INTERVAL 2 DAY, text || ' (rev3)' FROM nv WHERE pn % 21 = 0)
+SELECT url, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       CAST(date_diff('second', MIN(warc_ts), MAX(warc_ts)) AS BIGINT) AS span_sec,
+       md5(arg_max(text, warc_ts)) AS latest_text_md5
+FROM flog GROUP BY url"""
+
+
+def _crawl_frontier_sql(n_pages: int, iters: int = 6, scale: int = 10**12) -> str:
+    """webgraph.crawl_frontier replayed: outlink targets from the shared
+    hl CTE canonicalized with the SAME _canon_chain the url_normalize
+    row pins, the crawled set anti-joined out (NOT IN — no NULLs by
+    construction: every href matched the scheme regex), plain
+    COUNT(DISTINCT) where the Spark side runs the two-phase salted
+    distinct (exact by construction, so results are identical), and the
+    directed host-PageRank prior from the same unrolled CTEs the
+    host_pagerank row hash-verifies."""
+    from .operators.webgraph import HOST_RE
+
+    ctes = [f"WITH {_host_edge_ctes(n_pages)},"] + _directed_pr_ctes(iters, scale)
+    body = "\n".join(ctes).rstrip(",")
+    return f"""{body},
+fcand AS (SELECT regexp_extract(src_url, '{HOST_RE}', 1) AS src_host,
+                 {_canon_chain("href")} AS url_canon
+          FROM hl),
+crawled AS (SELECT DISTINCT {_canon_chain("url")} AS url_canon FROM rawpages),
+unc AS (SELECT * FROM fcand
+        WHERE url_canon NOT IN (SELECT url_canon FROM crawled)),
+fagg AS (SELECT url_canon, COUNT(*) AS n_ref_pages,
+                COUNT(DISTINCT src_host) AS n_ref_hosts
+         FROM unc GROUP BY url_canon)
+SELECT a.url_canon,
+       regexp_extract(a.url_canon, '{HOST_RE}', 1) AS host,
+       CAST(a.n_ref_pages AS BIGINT) AS n_ref_pages,
+       CAST(a.n_ref_hosts AS BIGINT) AS n_ref_hosts,
+       CAST(a.n_ref_hosts * COALESCE(r.rank_scaled, 0) + a.n_ref_pages
+            AS BIGINT) AS priority_scaled
+FROM fagg a
+LEFT JOIN r{iters} r ON r.node = regexp_extract(a.url_canon, '{HOST_RE}', 1)"""
+
+
+def _kg_negative_samples_sql(n_pages: int, n_buckets: int = 64) -> str:
+    """sampling.negative_samples replayed over the SAME triple SQL the
+    kg_triples row hash-verifies (nested WITH as a derived CTE): the
+    bucketed candidate dim (row_number PARTITIONED by md5 bucket — the
+    same bucket-local ordering Spark's partitioned window computes), the
+    per-triple (bucket, rank) slot draw in integer md5-u32 arithmetic
+    (// == Spark's shiftright for the power-of-two bucket count), the
+    collision wrap-around slot, and arg_min replaying min_by(pref)."""
+    hmd5 = _md5_u32_le("subj || chr(31) || pred || chr(31) || obj")
+    cmd5 = _md5_u32_le("cand")
+    return f"""
+WITH trip AS ({_kg_triples_sql(n_pages)}),
+pos AS (SELECT DISTINCT subj, pred, obj FROM trip),
+ents AS (SELECT DISTINCT obj AS cand FROM pos),
+dim AS (SELECT bucket, cand,
+               ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY cand) - 1 AS rk
+        FROM (SELECT cand, ({cmd5}) % {n_buckets} AS bucket FROM ents) b),
+sizes AS (SELECT bucket, COUNT(*) AS bsz FROM dim GROUP BY bucket),
+th AS (SELECT subj, pred, obj, ({hmd5}) AS h FROM pos),
+tt AS (SELECT t.subj, t.pred, t.obj, t.h % {n_buckets} AS tb,
+              ((t.h // {n_buckets}) % s.bsz) AS tr, s.bsz
+       FROM th t JOIN sizes s ON s.bucket = t.h % {n_buckets}),
+slots AS (
+  SELECT subj, pred, obj, tb, tr AS slot, 0 AS pref FROM tt
+  UNION ALL
+  SELECT subj, pred, obj, tb, (tr + 1) % bsz AS slot, 1 AS pref FROM tt),
+scand AS (SELECT sl.subj, sl.pred, sl.obj, d.cand, sl.pref
+          FROM slots sl JOIN dim d ON d.bucket = sl.tb AND d.rk = sl.slot
+          WHERE d.cand <> sl.obj)
+SELECT subj, pred, obj, arg_min(cand, pref) AS neg_obj
+FROM scand GROUP BY subj, pred, obj"""
 
 
 _TRIANGLE_SQL = f"""
@@ -1960,6 +2066,9 @@ FROM injected
     "host_quality": _host_quality_sql(200),
     "robots_gate": _robots_gate_sql(200),
     "domain_table": _domain_table_sql(200, iters=6),
+    "fetch_log_latest": _fetch_log_latest_sql(200),
+    "crawl_frontier": _crawl_frontier_sql(200, iters=6),
+    "kg_negative_samples": _kg_negative_samples_sql(200),
     # kmeans_clusters is rendered at call time in oracle_sql_map (the
     # trained codebook inlines from the parity sf dir, same as ivf_topk)
 }

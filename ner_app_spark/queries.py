@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .operators import (
     dedup,
+    fetchlog,
     graph,
     graphalgo,
     search,
@@ -1267,6 +1268,55 @@ def q_robots_gate(spark, sf_dir):
     return webgraph.robots_directives(_pages_for(spark, sf_dir))
 
 
+def q_fetch_log_latest(spark, sf_dir):
+    """CDX-style fetch-log rollup (operators/fetchlog.py) over a
+    deterministically derived multi-snapshot log (same in-query
+    fixture-derivation convention as pii_scan / url_normalize): every
+    7th page gains a +1-day re-fetch with revised text, every 21st a
+    further +2-day one — so n_fetches takes values 1/2/3, the span is a
+    real timestamp difference, and the latest-text md5 provably tracks
+    the LAST revision (the DuckDB oracle recomputes it from the same
+    derivation; a wrong max_by side hash-mismatches)."""
+    pages = _pages_for(spark, sf_dir).select("url", "warc_ts", "text")
+    pn = F.regexp_extract("url", "page/([0-9]+)", 1).cast("int")
+    re1 = pages.filter(pn % 7 == 0).select(
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+        F.concat("text", F.lit(" (rev2)")).alias("text"),
+    )
+    re2 = pages.filter(pn % 21 == 0).select(
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 2 DAY")).alias("warc_ts"),
+        F.concat("text", F.lit(" (rev3)")).alias("text"),
+    )
+    log = pages.unionByName(re1).unionByName(re2)
+    return fetchlog.latest_fetches(log)
+
+
+def q_crawl_frontier(spark, sf_dir):
+    # frontier scheduling: canonicalized uncrawled outlink targets with
+    # salted-distinct referrer evidence and the host-PageRank fetch
+    # priority (webgraph.crawl_frontier). Synth outlinks point at page
+    # numbers up to 999 while only the first n are crawled, so the anti-
+    # join genuinely splits the target set. Eager (pagerank barriers at
+    # construction) -> memoized.
+    return webgraph.crawl_frontier(_pages_for(spark, sf_dir), iters=6)
+
+
+def q_kg_negative_samples(spark, sf_dir):
+    # deterministic TransE-style corrupted negatives over the pipeline's
+    # distinct triples (operators/sampling.negative_samples): bucketed
+    # md5 slot draw, collision wrap-around — no global index, no
+    # partition-less window. The oracle replays the whole derivation
+    # (triples SQL + the same bucket/rank arithmetic) bit-exactly.
+    pages = _pages_for(spark, sf_dir)
+    phrases = extract_phrases(pages, num_partitions=8)
+    triples = emit_triples(phrases, morphology_df(spark))
+    from .operators.sampling import negative_samples
+
+    return negative_samples(triples)
+
+
 def q_anchor_aliases(spark, sf_dir):
     # anchor-text alias mining over the web link layer: the candidate
     # alias dictionary for entity linking. n_src_hosts runs through the
@@ -1502,4 +1552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_quality": q_host_quality,
     "robots_gate": q_robots_gate,
     "domain_table": q_domain_table,
+    "fetch_log_latest": q_fetch_log_latest,
+    "crawl_frontier": q_crawl_frontier,
+    "kg_negative_samples": q_kg_negative_samples,
 }

@@ -1,0 +1,120 @@
+"""Crawl-side operators: fetch-log latest-version dedup
+(operators/fetchlog.py), crawl-frontier scheduling
+(webgraph.crawl_frontier), and deterministic KG negative sampling
+(sampling.negative_samples) — the structural invariants the sf0.01
+DuckDB parity rows cannot express."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+from pyspark.sql import functions as F
+
+from ner_app_spark.operators import fetchlog, webgraph
+from ner_app_spark.operators.sampling import negative_samples
+from ner_app_spark.sources.pages import synth_pages_df
+
+T0 = dt.datetime(2025, 1, 1)
+
+
+def _log(spark):
+    rows = [
+        ("https://a.example/x", T0, "first draft"),
+        ("https://a.example/x", T0 + dt.timedelta(days=2), "final text"),
+        ("https://a.example/x", T0 + dt.timedelta(days=1), "middle rev"),
+        ("https://b.example/y", T0, "only fetch"),
+    ]
+    return spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+
+
+def test_latest_fetches_picks_latest_revision(spark):
+    got = {r["url"]: r for r in fetchlog.latest_fetches(_log(spark)).collect()}
+    a = got["https://a.example/x"]
+    assert a["n_fetches"] == 3
+    assert a["span_sec"] == 2 * 86400
+    assert a["latest_text_md5"] == hashlib.md5(b"final text").hexdigest()
+    b = got["https://b.example/y"]
+    assert (b["n_fetches"], b["span_sec"]) == (1, 0)
+    assert b["latest_text_md5"] == hashlib.md5(b"only fetch").hexdigest()
+
+
+def test_dedup_fetches_keeps_whole_winning_row(spark):
+    got = {r["url"]: r for r in fetchlog.dedup_fetches(_log(spark)).collect()}
+    assert got["https://a.example/x"]["text"] == "final text"
+    assert got["https://a.example/x"]["warc_ts"] == T0 + dt.timedelta(days=2)
+    assert got["https://b.example/y"]["text"] == "only fetch"
+    # one row per url, all original columns preserved
+    assert len(got) == 2
+    assert set(fetchlog.dedup_fetches(_log(spark)).columns) == {
+        "url", "warc_ts", "text",
+    }
+
+
+def test_crawl_frontier_excludes_crawled_targets(spark):
+    pages = synth_pages_df(spark, 60)
+    frontier = webgraph.crawl_frontier(pages, iters=2)
+    rows = frontier.collect()
+    assert rows, "synth outlinks point past the crawled page range"
+    crawled = {r["url"] for r in pages.select("url").collect()}
+    links = {
+        r["href"] for r in webgraph.page_links(pages).select("href").collect()
+    }
+    for r in rows:
+        # synth urls are already canonical, so set algebra holds verbatim
+        assert r["url_canon"] not in crawled
+        assert r["url_canon"] in links
+        assert 1 <= r["n_ref_hosts"] <= r["n_ref_pages"]
+        assert r["url_canon"].startswith(f"https://{r['host']}/")
+
+
+def test_crawl_frontier_priority_formula(spark):
+    pages = synth_pages_df(spark, 60)
+    frontier = webgraph.crawl_frontier(pages, iters=2)
+    prior = {
+        r["host"]: r["rank_scaled"]
+        for r in webgraph.host_pagerank(pages, iters=2).collect()
+    }
+    for r in frontier.collect():
+        expect = r["n_ref_hosts"] * prior.get(r["host"], 0) + r["n_ref_pages"]
+        assert r["priority_scaled"] == expect
+
+
+def _triples(spark):
+    rows = [
+        ("картина", "AN", "большой"),
+        ("картина", "AN", "новый"),
+        ("система", "NN", "картина"),
+        ("модель", "AN", "быстрый"),
+        ("модель", "AN", "быстрый"),  # duplicate positive collapses
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_negative_samples_never_returns_true_object(spark):
+    got = negative_samples(_triples(spark), n_buckets=4).collect()
+    objs = {"большой", "новый", "картина", "быстрый"}
+    assert got, "small vocab still yields negatives"
+    seen = set()
+    for r in got:
+        assert r["neg_obj"] != r["obj"]
+        assert r["neg_obj"] in objs, "negatives are drawn from the object vocab"
+        key = (r["subj"], r["pred"], r["obj"])
+        assert key not in seen, "at most one negative per distinct positive"
+        seen.add(key)
+
+
+def test_negative_samples_stable_under_repartitioning(spark):
+    base = _triples(spark)
+    a = sorted(map(tuple, negative_samples(base, n_buckets=4).collect()))
+    b = sorted(
+        map(tuple, negative_samples(base.repartition(7), n_buckets=4).collect())
+    )
+    assert a == b, "assignment must be a pure function of the triple"
+
+
+def test_negative_samples_requires_power_of_two_buckets(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        negative_samples(_triples(spark), n_buckets=48)
