@@ -41,6 +41,11 @@ def main() -> int:
                     help="union the web-mined anchor-text alias dictionary "
                     "(webgraph.anchor_alias_dim over the same pages scan) "
                     "into the linking dictionary")
+    ap.add_argument("--dedup-fetch-log", action="store_true",
+                    help="treat the input as a raw multi-snapshot fetch "
+                    "log and keep only the LATEST full row per url "
+                    "(CDX-style dedup, operators/fetchlog.dedup_fetches) "
+                    "before any other stage")
     ap.add_argument("--honor-robots", action="store_true",
                     help="crawl compliance: drop pages carrying a "
                     "noindex robots meta before extraction "
@@ -74,6 +79,14 @@ def main() -> int:
         pages = read_pages(spark, args.input)
     else:
         pages = synth_pages_df(spark, args.pages)
+    if args.dedup_fetch_log:
+        # the input is a raw multi-snapshot fetch log (several fetches
+        # per url across crawl snapshots): keep only the LATEST full row
+        # per url before any downstream stage sees the corpus — one
+        # url-hash partial-agg shuffle (operators/fetchlog.dedup_fetches)
+        from ner_app_spark.operators import fetchlog
+
+        pages = fetchlog.dedup_fetches(pages)
     if args.honor_robots:
         from ner_app_spark.operators import webgraph
 

@@ -39,6 +39,11 @@ def main() -> int:
     ap.add_argument("--honor-robots", action="store_true",
                     help="crawl compliance: pages carrying a nofollow "
                     "robots meta contribute no link-graph edges")
+    ap.add_argument("--frontier", action="store_true",
+                    help="also write frontier/ (uncrawled canonical "
+                    "outlink targets with referrer evidence and the "
+                    "PageRank-prior fetch priority), reusing the "
+                    "materialized ranks table as the prior")
     args = ap.parse_args()
 
     from ner_app_spark.operators import webgraph
@@ -72,6 +77,12 @@ def main() -> int:
     ranks.write.mode("overwrite").parquet(f"{args.output}/ranks")
     ranks = spark.read.parquet(f"{args.output}/ranks")
 
+    n_frontier = None
+    if args.frontier:
+        frontier = webgraph.crawl_frontier(pages, prior=ranks)
+        frontier.write.mode("overwrite").parquet(f"{args.output}/frontier")
+        n_frontier = spark.read.parquet(f"{args.output}/frontier").count()
+
     top = [
         (r["host"], r["rank_scaled"])
         for r in ranks.orderBy(
@@ -79,12 +90,15 @@ def main() -> int:
         ).limit(5).collect()
     ]
     wall = round(time.monotonic() - t0, 3)
-    print(json.dumps({
+    out = {
         "wall_sec": wall,
         "n_edges": edges.count(),
         "n_hosts": ranks.count(),
         "top_hosts": top,
-    }))
+    }
+    if n_frontier is not None:
+        out["n_frontier"] = n_frontier
+    print(json.dumps(out))
     spark.stop()
     return 0
 

@@ -373,7 +373,9 @@ def domain_table(
     )
 
 
-def crawl_frontier(pages: DataFrame, iters: int = 6) -> DataFrame:
+def crawl_frontier(
+    pages: DataFrame, iters: int = 6, prior: DataFrame | None = None
+) -> DataFrame:
     """(url_canon, host, n_ref_pages, n_ref_hosts, priority_scaled):
     the crawl frontier — every canonicalized outlink target NOT already
     in the crawled set, with its referrer evidence and an integer fetch
@@ -403,6 +405,12 @@ def crawl_frontier(pages: DataFrame, iters: int = 6) -> DataFrame:
       exact long arithmetic (hash-verifiable; rank 0 for hosts the
       crawled graph has never endorsed — COALESCE, never null).
 
+    ``prior`` short-circuits the PageRank recompute with an existing
+    (host, rank_scaled) frame — jobs/run_webgraph.py passes its already-
+    MATERIALIZED ranks table so the frontier write never re-runs the
+    Pregel loop (at scale the prior is a table you refresh on its own
+    cadence, not something every frontier batch recomputes).
+
     The reference app has no crawl loop (single pasted document,
     /root/reference/src/routers/views.py); this is beyond-reference
     web-scale infrastructure like the rest of this module.
@@ -423,7 +431,9 @@ def crawl_frontier(pages: DataFrame, iters: int = 6) -> DataFrame:
         out="n_ref_hosts",
         count_out="n_ref_pages",
     )
-    prior = host_pagerank(pages, iters=iters).select("host", "rank_scaled")
+    if prior is None:
+        prior = host_pagerank(pages, iters=iters)
+    prior = prior.select("host", "rank_scaled")
     return (
         agg.withColumn("host", F.regexp_extract("url_canon", HOST_RE, 1))
         .join(F.broadcast(prior), "host", "left")

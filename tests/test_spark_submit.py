@@ -429,3 +429,57 @@ def test_operational_jobs_via_spark_submit(pyfiles_zip, tmp_path, spark):
         "--checkpoint", f"{root}/stream_ckpt", "--parts", "4",
     )
     assert st["triples"] == N_TRIPLES  # same 60-page corpus as entry()
+
+
+def test_run_webgraph_frontier_flag(pyfiles_zip, tmp_path, spark):
+    """--frontier writes the crawl-scheduling table, reusing the job's
+    materialized ranks as the prior — stored rows are bit-identical to
+    an in-process recompute (exact integer priority arithmetic)."""
+    outdir = str(tmp_path / "webgraph_f")
+    got = _submit(
+        pyfiles_zip, "run_webgraph.py",
+        "--pages", str(N_PAGES), "--parts", "8", "--output", outdir,
+        "--frontier",
+    )
+    assert got["n_frontier"] > 0
+    from ner_app_spark.operators.webgraph import crawl_frontier
+    from ner_app_spark.sources.pages import synth_pages_df
+
+    expect = sorted(
+        map(tuple, crawl_frontier(synth_pages_df(spark, N_PAGES), iters=6)
+            .collect())
+    )
+    stored = sorted(
+        map(tuple, spark.read.parquet(f"{outdir}/frontier").collect())
+    )
+    assert stored == expect
+    assert len(stored) == got["n_frontier"]
+
+
+def test_run_pipeline_dedup_fetch_log(pyfiles_zip, tmp_path, spark):
+    """--dedup-fetch-log collapses a multi-snapshot fetch log to one
+    (latest) row per url before extraction: documents return to the
+    crawled-url count and, because the re-fetches carry identical
+    content, every downstream golden count is reproduced exactly."""
+    from pyspark.sql import functions as F
+
+    from ner_app_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, N_PAGES)
+    pn = F.regexp_extract("url", "page/([0-9]+)", 1).cast("int")
+    refetch = pages.filter(pn % 7 == 0).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+    )
+    log = pages.unionByName(refetch)
+    inpath = str(tmp_path / "fetch_log")
+    log.write.parquet(inpath)
+    n_log = log.count()
+    assert n_log > N_PAGES
+
+    got = _submit(
+        pyfiles_zip, "run_pipeline.py",
+        "--input", inpath, "--parts", "8", "--dedup-fetch-log",
+    )
+    assert got["documents"] == N_PAGES
+    assert got["phrases"] == N_PHRASES
+    assert got["triples"] == N_TRIPLES
