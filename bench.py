@@ -233,6 +233,13 @@ def run_bench() -> dict:
         )
         return fetchlog.latest_fetches(pages.unionByName(re1).unionByName(re2))
 
+    def _bench_stratified(s):
+        from ner_app_spark.operators.sampling import stratified_sample
+
+        return stratified_sample(
+            _synth_pages(s).select("url", "lang"), {"ru": 0.25}
+        )
+
     extras_fns: dict[str, object] = {
         "dup_clusters_1k": lambda s, _: graphalgo.dup_clusters(
             _docs_1k(s), min_jaccard=0.3
@@ -289,6 +296,13 @@ def run_bench() -> dict:
         # deterministic TransE negatives over the pipeline's triples
         # (registry wrapper: extract -> triples -> bucketed slot draw)
         "kg_negative_samples": QUERIES["kg_negative_samples"],
+        # politeness wave schedule over the frontier (host-partitioned
+        # ranking on top of the crawl_frontier plan)
+        "frontier_waves": lambda s, _: webgraph.frontier_waves(
+            webgraph.crawl_frontier(_synth_pages(s), iters=6), per_wave=2
+        ),
+        # per-language training-mix rebalancer (filter-only projection)
+        "stratified_sample": lambda s, _: _bench_stratified(s),
     }
     extras: dict[str, float] = {}
     for name, fn in extras_fns.items():

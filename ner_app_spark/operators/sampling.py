@@ -137,3 +137,28 @@ def negative_samples(triples: DataFrame, n_buckets: int = 64) -> DataFrame:
     return cand.groupBy("subj", "pred", "obj").agg(
         F.min_by("cand", "pref").alias("neg_obj")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    key: str = "url",
+    stratum: str = "lang",
+) -> DataFrame:
+    """Deterministic per-stratum hash sample: keep a row iff
+    ``md5-u32(key) < rate(stratum) * 2^32`` — the training-mix
+    rebalancer (downsample the head language, keep the long tail whole)
+    with hash_sample's guarantees per stratum: reproducible across runs
+    and partitionings, stable under corpus growth, and exact integer
+    thresholds so a DuckDB oracle replays the kept set row for row.
+
+    The per-stratum threshold is a literal CASE chain (strata are a
+    config-sized dict, never a join) folded into the same codegen
+    projection as the md5 — filter-only, no shuffle, embarrassingly
+    parallel at any scale. Strata apply in sorted key order so the
+    rendered plan is stable."""
+    thr: Column = F.lit(int(default_rate * (1 << 32)))
+    for s, r in sorted(rates.items()):
+        thr = F.when(F.col(stratum) == s, F.lit(int(r * (1 << 32)))).otherwise(thr)
+    return df.filter(_md5_u32_le(F.col(key)) < thr)

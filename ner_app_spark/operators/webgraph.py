@@ -449,3 +449,40 @@ def crawl_frontier(
             ).alias("priority_scaled"),
         )
     )
+
+
+
+def frontier_waves(frontier: DataFrame, per_wave: int = 1) -> DataFrame:
+    """(url_canon, host, priority_scaled, wave): politeness scheduling
+    over the frontier — rank targets within each host by fetch priority
+    and assign waves of ``per_wave`` urls per host. Wave w is the set a
+    polite crawler may fetch concurrently without hitting any host more
+    than ``per_wave`` times; the crawl loop drains waves in order.
+
+    The window partitions by HOST — the politeness domain — so each
+    host's ranking sorts independently (no global order, no single
+    reducer: the partitioned-window shape the repo's plan invariant
+    allows). Skew note: a hub host with millions of frontier targets
+    makes one fat partition, but the per-host ranking IS the quantity
+    politeness needs — it cannot be salted away, and it is bounded by
+    the frontier aggregate (one row per distinct target), never by raw
+    link volume. ``wave = rn div per_wave`` stays in exact long
+    arithmetic, so the row is hash-verifiable.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority_scaled"), F.asc("url_canon")
+    )
+    ranked = frontier.select(
+        "url_canon",
+        "host",
+        "priority_scaled",
+        (F.row_number().over(w) - 1).alias("__rn"),
+    )
+    return ranked.select(
+        "url_canon",
+        "host",
+        "priority_scaled",
+        F.expr(f"__rn div {int(per_wave)}").alias("wave"),
+    )

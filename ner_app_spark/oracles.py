@@ -1392,6 +1392,42 @@ FROM fagg a
 LEFT JOIN r{iters} r ON r.node = regexp_extract(a.url_canon, '{HOST_RE}', 1)"""
 
 
+def _frontier_waves_sql(n_pages: int, per_wave: int = 2, iters: int = 6) -> str:
+    """webgraph.frontier_waves replayed: the full crawl_frontier SQL
+    nested as a CTE, then the same host-partitioned priority ranking
+    (ties broken by url_canon, exactly Spark's orderBy) and the integer
+    ``(rn - 1) // per_wave`` wave id."""
+    return f"""
+WITH fr AS ({_crawl_frontier_sql(n_pages, iters=iters)})
+SELECT url_canon, host, priority_scaled,
+       CAST((ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY priority_scaled DESC, url_canon ASC)
+             - 1) // {per_wave} AS BIGINT) AS wave
+FROM fr"""
+
+
+def _stratified_sample_sql(n_pages: int, rates: dict[str, float] | None = None) -> str:
+    """sampling.stratified_sample replayed: the per-stratum exact
+    integer thresholds as a CASE chain over the inlined (url, lang)
+    rows, the kept-set predicate the same md5-u32 digit arithmetic as
+    hash_split."""
+    from .synth import synth_pages
+
+    rates = {"ru": 0.25} if rates is None else rates
+    vals = ",\n".join(
+        f"({_sql_lit(p['url'])}, {_sql_lit(p['lang'])})"
+        for p in synth_pages(n_pages)
+    )
+    case = " ".join(
+        f"WHEN lang = {_sql_lit(s)} THEN {int(r * (1 << 32))}"
+        for s, r in sorted(rates.items())
+    )
+    return f"""
+WITH spages(url, lang) AS (VALUES {vals})
+SELECT url, lang FROM spages
+WHERE ({_md5_u32_le("url")}) < CASE {case} ELSE {1 << 32} END"""
+
+
 def _kg_negative_samples_sql(n_pages: int, n_buckets: int = 64) -> str:
     """sampling.negative_samples replayed over the SAME triple SQL the
     kg_triples row hash-verifies (nested WITH as a derived CTE): the
@@ -2068,6 +2104,8 @@ FROM injected
     "domain_table": _domain_table_sql(200, iters=6),
     "fetch_log_latest": _fetch_log_latest_sql(200),
     "crawl_frontier": _crawl_frontier_sql(200, iters=6),
+    "frontier_waves": _frontier_waves_sql(200, per_wave=2, iters=6),
+    "stratified_sample": _stratified_sample_sql(200),
     "kg_negative_samples": _kg_negative_samples_sql(200),
     # kmeans_clusters is rendered at call time in oracle_sql_map (the
     # trained codebook inlines from the parity sf dir, same as ivf_topk)

@@ -1303,6 +1303,24 @@ def q_crawl_frontier(spark, sf_dir):
     return webgraph.crawl_frontier(_pages_for(spark, sf_dir), iters=6)
 
 
+def q_frontier_waves(spark, sf_dir):
+    # politeness scheduling over the frontier: per-host priority ranking
+    # (host-partitioned window — the politeness domain) cut into fetch
+    # waves of 2 urls per host, wave id in exact long arithmetic
+    frontier = webgraph.crawl_frontier(_pages_for(spark, sf_dir), iters=6)
+    return webgraph.frontier_waves(frontier, per_wave=2)
+
+
+def q_stratified_sample(spark, sf_dir):
+    # training-mix rebalancer: downsample the head language (ru -> 25%),
+    # keep the long tail whole — kept set is a pure function of
+    # md5-u32(url) vs exact integer thresholds (filter-only, no shuffle)
+    from .operators.sampling import stratified_sample
+
+    pages = _pages_for(spark, sf_dir).select("url", "lang")
+    return stratified_sample(pages, {"ru": 0.25})
+
+
 def q_kg_negative_samples(spark, sf_dir):
     # deterministic TransE-style corrupted negatives over the pipeline's
     # distinct triples (operators/sampling.negative_samples): bucketed
@@ -1554,5 +1572,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_table": q_domain_table,
     "fetch_log_latest": q_fetch_log_latest,
     "crawl_frontier": q_crawl_frontier,
+    "frontier_waves": q_frontier_waves,
+    "stratified_sample": q_stratified_sample,
     "kg_negative_samples": q_kg_negative_samples,
 }

@@ -1,7 +1,9 @@
 """Crawl-side operators: fetch-log latest-version dedup
 (operators/fetchlog.py), crawl-frontier scheduling
-(webgraph.crawl_frontier), and deterministic KG negative sampling
-(sampling.negative_samples) — the structural invariants the sf0.01
+(webgraph.crawl_frontier), politeness wave scheduling
+(webgraph.frontier_waves), deterministic KG negative sampling
+(sampling.negative_samples), and the per-stratum training-mix sampler
+(sampling.stratified_sample) — the structural invariants the sf0.01
 DuckDB parity rows cannot express."""
 
 from __future__ import annotations
@@ -118,3 +120,50 @@ def test_negative_samples_requires_power_of_two_buckets(spark):
 
     with pytest.raises(ValueError):
         negative_samples(_triples(spark), n_buckets=48)
+
+
+def test_frontier_waves_politeness_bound(spark):
+    pages = synth_pages_df(spark, 60)
+    frontier = webgraph.crawl_frontier(pages, iters=2)
+    waves = webgraph.frontier_waves(frontier, per_wave=2).collect()
+    assert waves
+    per = {}
+    for r in waves:
+        per.setdefault((r["host"], r["wave"]), []).append(r)
+    # politeness: never more than per_wave urls of one host in a wave
+    assert all(len(v) <= 2 for v in per.values())
+    # waves are dense per host (0..k with no gaps) and ordered by priority
+    by_host = {}
+    for r in waves:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        ws = sorted(r["wave"] for r in rs)
+        assert ws[0] == 0 and ws[-1] == (len(rs) - 1) // 2
+        rs.sort(key=lambda r: (-r["priority_scaled"], r["url_canon"]))
+        for i, r in enumerate(rs):
+            assert r["wave"] == i // 2
+
+
+def test_stratified_sample_downsamples_head_language_only(spark):
+    from ner_app_spark.operators.sampling import stratified_sample
+
+    pages = synth_pages_df(spark, 200).select("url", "lang")
+    kept = stratified_sample(pages, {"ru": 0.25}).collect()
+    total = {r["lang"]: 0 for r in pages.collect()}
+    for r in pages.collect():
+        total[r["lang"]] += 1
+    got = {lang: 0 for lang in total}
+    for r in kept:
+        got[r["lang"]] += 1
+    # the long tail is untouched; the head language thins to ~25%
+    for lang in total:
+        if lang == "ru":
+            assert 0 < got[lang] < total[lang]
+            assert abs(got[lang] / total[lang] - 0.25) < 0.15
+        else:
+            assert got[lang] == total[lang]
+    # stable under repartitioning (pure function of md5(url))
+    again = sorted(
+        map(tuple, stratified_sample(pages.repartition(7), {"ru": 0.25}).collect())
+    )
+    assert again == sorted(map(tuple, kept))
