@@ -303,6 +303,8 @@ def run_bench() -> dict:
         ),
         # per-language training-mix rebalancer (filter-only projection)
         "stratified_sample": lambda s, _: _bench_stratified(s),
+        # corpus-level triple confidence (salted distinct-host evidence)
+        "triple_support": QUERIES["triple_support"],
     }
     extras: dict[str, float] = {}
     for name, fn in extras_fns.items():

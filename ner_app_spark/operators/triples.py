@@ -104,3 +104,58 @@ def emit_triples(phrases: DataFrame, morph: DataFrame) -> DataFrame:
     of the whole triple set (the single biggest shuffle in the
     pipeline at scale)."""
     return intra_phrase_triples(phrases, morph).unionByName(synonym_triples(phrases))
+
+
+def triple_support(triples: DataFrame, n_salts: int = 16) -> DataFrame:
+    """(subj, pred, obj, n_docs, n_hosts): evidence aggregation over the
+    emitted triple table — in how many documents, and on how many
+    distinct HOSTS, each distinct triple was observed. This is the
+    confidence signal KG construction ranks and prunes assertions by: a
+    triple seen on many independent hosts is knowledge; a triple seen
+    10^6 times on one host is boilerplate.
+
+    Shapes, at 10^12-document scale:
+
+    * ``n_docs`` is a plain COUNT(*): emit_triples produces one row per
+      (url, subj, pred, obj) by construction (each family de-duplicates
+      per document and the two families cannot collide — see
+      emit_triples), so the row count per triple IS the document count,
+      with no second distinct pass. The oracle recomputes it over its
+      own DISTINCT set, so any drift in that invariant hash-mismatches
+      (red-capable).
+    * ``n_hosts`` is the head-entity skew case the pipeline is built
+      around: popular entities concentrate enormous evidence sets on
+      few triple keys, so the distinct-host count runs through the
+      two-phase salted distinct (operators/skew.py — salt is a function
+      of the host, each distinct host counted exactly once), the same
+      device the anchor miner and crawl frontier use.
+
+    Reference scope: the reference ranks phrases per document
+    (/root/reference/src/analysis/tfidf.py) and has no cross-document
+    corpus; corpus-level triple confidence is part of the web-scale
+    layer, like operators/webgraph.py.
+    """
+    from .skew import salted_distinct_count
+    from .webgraph import HOST_RE
+
+    ev = triples.select(
+        "subj",
+        "pred",
+        "obj",
+        F.regexp_extract("url", HOST_RE, 1).alias("host"),
+    )
+    agg = salted_distinct_count(
+        ev,
+        ["subj", "pred", "obj"],
+        "host",
+        n_salts=n_salts,
+        out="n_hosts",
+        count_out="n_docs",
+    )
+    return agg.select(
+        "subj",
+        "pred",
+        "obj",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_hosts").cast("long").alias("n_hosts"),
+    )

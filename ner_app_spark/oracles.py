@@ -1428,6 +1428,23 @@ SELECT url, lang FROM spages
 WHERE ({_md5_u32_le("url")}) < CASE {case} ELSE {1 << 32} END"""
 
 
+def _triple_support_sql(n_pages: int) -> str:
+    """triples.triple_support replayed over the kg_triples SQL (nested
+    CTE): COUNT(*) per distinct triple (the oracle's trip set is
+    DISTINCT (url, subj, pred, obj), so the row count IS the document
+    count — if the Spark side's no-outer-distinct invariant ever
+    drifts, this row hash-mismatches) and the plain COUNT(DISTINCT
+    host) the salted two-phase pass computes exactly."""
+    from .operators.webgraph import HOST_RE
+
+    return f"""
+WITH trip AS ({_kg_triples_sql(n_pages)})
+SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT regexp_extract(url, '{HOST_RE}', 1))
+            AS BIGINT) AS n_hosts
+FROM trip GROUP BY subj, pred, obj"""
+
+
 def _kg_negative_samples_sql(n_pages: int, n_buckets: int = 64) -> str:
     """sampling.negative_samples replayed over the SAME triple SQL the
     kg_triples row hash-verifies (nested WITH as a derived CTE): the
@@ -2107,6 +2124,7 @@ FROM injected
     "frontier_waves": _frontier_waves_sql(200, per_wave=2, iters=6),
     "stratified_sample": _stratified_sample_sql(200),
     "kg_negative_samples": _kg_negative_samples_sql(200),
+    "triple_support": _triple_support_sql(200),
     # kmeans_clusters is rendered at call time in oracle_sql_map (the
     # trained codebook inlines from the parity sf dir, same as ivf_topk)
 }

@@ -1321,6 +1321,19 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(pages, {"ru": 0.25})
 
 
+def q_triple_support(spark, sf_dir):
+    # corpus-level triple confidence: per distinct (subj, pred, obj) the
+    # supporting document count (plain COUNT(*) — emit_triples is
+    # distinct per (url, triple) by construction, oracle red-caps the
+    # invariant) and the salted distinct-HOST endorsement count (head
+    # entities concentrate evidence exactly like hub hosts)
+    from .operators.triples import triple_support
+
+    pages = _pages_for(spark, sf_dir)
+    phrases = extract_phrases(pages, num_partitions=8)
+    return triple_support(emit_triples(phrases, morphology_df(spark)))
+
+
 def q_kg_negative_samples(spark, sf_dir):
     # deterministic TransE-style corrupted negatives over the pipeline's
     # distinct triples (operators/sampling.negative_samples): bucketed
@@ -1575,4 +1588,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_waves": q_frontier_waves,
     "stratified_sample": q_stratified_sample,
     "kg_negative_samples": q_kg_negative_samples,
+    "triple_support": q_triple_support,
 }

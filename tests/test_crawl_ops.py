@@ -2,8 +2,9 @@
 (operators/fetchlog.py), crawl-frontier scheduling
 (webgraph.crawl_frontier), politeness wave scheduling
 (webgraph.frontier_waves), deterministic KG negative sampling
-(sampling.negative_samples), and the per-stratum training-mix sampler
-(sampling.stratified_sample) — the structural invariants the sf0.01
+(sampling.negative_samples), the per-stratum training-mix sampler
+(sampling.stratified_sample), and corpus-level triple evidence
+(triples.triple_support) — the structural invariants the sf0.01
 DuckDB parity rows cannot express."""
 
 from __future__ import annotations
@@ -167,3 +168,22 @@ def test_stratified_sample_downsamples_head_language_only(spark):
         map(tuple, stratified_sample(pages.repartition(7), {"ru": 0.25}).collect())
     )
     assert again == sorted(map(tuple, kept))
+
+
+def test_triple_support_counts(spark):
+    from ner_app_spark.operators.triples import triple_support
+
+    rows = [
+        ("https://a.example/1", "x", "p", "y"),
+        ("https://a.example/2", "x", "p", "y"),
+        ("https://b.example/1", "x", "p", "y"),
+        ("https://b.example/2", "z", "q", "w"),
+    ]
+    trips = spark.createDataFrame(
+        rows, "url string, subj string, pred string, obj string"
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"]): (r["n_docs"], r["n_hosts"])
+        for r in triple_support(trips).collect()
+    }
+    assert got == {("x", "p", "y"): (3, 2), ("z", "q", "w"): (1, 1)}
