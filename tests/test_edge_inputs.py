@@ -76,3 +76,43 @@ def test_zero_pages_web_curation_ops(spark):
     assert webgraph.indexable_pages(plain).count() == 30  # nothing opts out
     hq = webgraph.host_quality(plain)
     assert hq.agg(F.sum("plain_pages")).first()[0] == 30
+
+
+def test_zero_pages_crawl_tail_ops(spark):
+    """The crawl/training tail (round-5 final session) on zero pages and
+    on an anchor-free corpus: empty typed frames, never exceptions."""
+    from pyspark.sql import functions as F
+
+    from ner_app_spark.operators import fetchlog, webgraph
+    from ner_app_spark.operators.sampling import (
+        negative_samples,
+        stratified_sample,
+    )
+    from ner_app_spark.operators.triples import triple_support
+
+    empty = synth_pages_df(spark, 0, num_partitions=2)
+    assert fetchlog.latest_fetches(empty.select("url", "warc_ts", "text")).count() == 0
+    assert fetchlog.dedup_fetches(empty).count() == 0
+    assert webgraph.crawl_frontier(empty, iters=2).count() == 0
+    assert webgraph.frontier_waves(
+        webgraph.crawl_frontier(empty, iters=2)
+    ).count() == 0
+    assert stratified_sample(
+        empty.select("url", "lang"), {"ru": 0.25}
+    ).count() == 0
+
+    empty_triples = spark.createDataFrame(
+        [], "url string, subj string, pred string, obj string"
+    )
+    assert triple_support(empty_triples).count() == 0
+    assert negative_samples(
+        empty_triples.select("subj", "pred", "obj")
+    ).count() == 0
+
+    # anchor-free corpus: the frontier is empty (no outlinks at all),
+    # but the fetch-log rollup still covers every url
+    plain = synth_pages_df(spark, 30).withColumn(
+        "html", F.encode(F.col("text"), "UTF-8")
+    )
+    assert webgraph.crawl_frontier(plain, iters=2).count() == 0
+    assert fetchlog.latest_fetches(plain.select("url", "warc_ts", "text")).count() == 30
