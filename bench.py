@@ -305,6 +305,14 @@ def run_bench() -> dict:
         "stratified_sample": lambda s, _: _bench_stratified(s),
         # corpus-level triple confidence (salted distinct-host evidence)
         "triple_support": QUERIES["triple_support"],
+        # KG schema induction: per-pred cardinalities + PARIS
+        # functionality, all rolled up from the (pred,subj,obj) pre-agg
+        "predicate_stats": QUERIES["predicate_stats"],
+        # temporal KG: first/last crawl observation per assertion
+        # (url-keyed warc_ts join riding the extract partitioning)
+        "triple_intervals": QUERIES["triple_intervals"],
+        # substring-level dedup signal (Lee et al.) over sf documents
+        "dup_span_fraction": QUERIES["dup_span_fraction"],
     }
     extras: dict[str, float] = {}
     for name, fn in extras_fns.items():

@@ -299,3 +299,65 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dup_span_fraction(docs: DataFrame, n: int = 4) -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, dup_frac_micros): the
+    substring-level dedup signal (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better") — per document, the fraction of
+    its n-token window starts whose exact n-gram also occurs in at
+    least one OTHER document. Document-level near-dup (MinHash/SimHash
+    above) misses partially-copied text — a page that quotes half of
+    another scores low Jaccard overall while still feeding the model a
+    verbatim span; this operator measures exactly that mass so a
+    curation gate can drop or trim high-fraction docs. Emitted in
+    integer fixed-point (``(1_000_000 * dup) div total``, 0 when the
+    doc is shorter than n tokens) so the DuckDB oracle replays it
+    bit-identically — no float in the hash.
+
+    Shapes, at 10^12-document scale: the occurrence stream is
+    O(tokens); it is first pre-aggregated to one row per (doc_id,
+    n-gram) with an occurrence count — a shuffle keyed by (doc_id, sh),
+    which no boilerplate n-gram can skew because the key includes the
+    document. The hot-shingle set ("appears in >= 2 distinct docs") is
+    a COUNT(*) over that distinct-pair table, where map-side partial
+    aggregation absorbs the head keys. The final semi-join back is on
+    the pre-aggregated pair table (one row per key, no row
+    multiplication); residual skew in docs-per-boilerplate-shingle is
+    AQE skew-join territory, declared here.
+
+    Reference scope: the reference dedups whole documents by content
+    hash (/root/reference/src/services/text_service.py:8-15); span-level
+    dedup is part of the training-data curation layer, like the MinHash
+    and SimHash families above.
+    """
+    occ = explode_shingles(docs, n)
+    per = occ.groupBy("doc_id", "sh").agg(F.count("*").alias("n_occ"))
+    hot = (
+        per.groupBy("sh")
+        .agg(F.count("*").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("sh")
+    )
+    dup = (
+        per.join(hot, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("n_occ").alias("__nd"))
+    )
+    tot = occ.groupBy("doc_id").agg(F.count("*").alias("__nw"))
+    return (
+        docs.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__nw", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("__nd", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.expr(
+                "CASE WHEN coalesce(__nw, 0) = 0 THEN 0 "
+                "ELSE (1000000 * coalesce(__nd, 0)) div __nw END"
+            )
+            .cast("long")
+            .alias("dup_frac_micros"),
+        )
+    )

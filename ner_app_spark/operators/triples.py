@@ -159,3 +159,134 @@ def triple_support(triples: DataFrame, n_salts: int = 16) -> DataFrame:
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_hosts").cast("long").alias("n_hosts"),
     )
+
+
+def predicate_stats(triples: DataFrame) -> DataFrame:
+    """(pred, n_triples, n_obs, n_subj, n_obj, functionality_micros,
+    inv_functionality_micros): per-predicate schema statistics over the
+    emitted triple table — the KG schema-induction signal that decides
+    how a predicate behaves before canonicalization trusts it.
+    ``functionality`` is the PARIS-style measure (#distinct subjects /
+    #distinct (subj, obj) pairs): ~1.0 means the predicate is
+    functional (one object per subject — safe to merge on), small
+    values mean a hub predicate. Emitted in exact integer fixed-point
+    (``(1_000_000 * n) div n_triples``) so the DuckDB oracle replays
+    it bit-identically (Spark ``div`` == DuckDB ``//`` on nonnegative
+    ints) — no float in the hash.
+
+    Shapes, at 10^12-document scale: predicates are a tiny domain
+    (the seven POS pattern types + 'synonym'), so a direct
+    COUNT(DISTINCT subj) GROUP BY pred would concentrate the whole
+    corpus on <10 reducer keys. Every statistic therefore goes through
+    a high-cardinality pre-aggregation first: one shuffle keyed by
+    (pred, subj, obj) builds the distinct-pair table with per-pair
+    observation counts (partial map-side combine eats the duplicate
+    mass), and the per-pred rollups are counts over that — plain
+    COUNT(*) aggs whose partial aggregation makes the hot pred keys
+    irrelevant. No distinct ever shuffles on the skewed key alone.
+
+    Reference scope: the reference classifies phrases per document by
+    POS pattern (/root/reference/src/analysis/phrase_extractor.py) and
+    has no cross-document corpus; predicate-level schema statistics are
+    part of the web-scale KG layer, like triple_support above.
+    """
+    pairs = triples.groupBy("pred", "subj", "obj").agg(
+        F.count("*").alias("n_obs")
+    )
+    base = pairs.groupBy("pred").agg(
+        F.count("*").alias("n_triples"),
+        F.sum("n_obs").alias("n_obs"),
+    )
+    n_subj = (
+        pairs.select("pred", "subj")
+        .distinct()
+        .groupBy("pred")
+        .agg(F.count("*").alias("n_subj"))
+    )
+    n_obj = (
+        pairs.select("pred", "obj")
+        .distinct()
+        .groupBy("pred")
+        .agg(F.count("*").alias("n_obj"))
+    )
+    return (
+        base.join(n_subj, "pred")
+        .join(n_obj, "pred")
+        .select(
+            "pred",
+            F.col("n_triples").cast("long").alias("n_triples"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.col("n_subj").cast("long").alias("n_subj"),
+            F.col("n_obj").cast("long").alias("n_obj"),
+            F.expr("(1000000 * n_subj) div n_triples")
+            .cast("long")
+            .alias("functionality_micros"),
+            F.expr("(1000000 * n_obj) div n_triples")
+            .cast("long")
+            .alias("inv_functionality_micros"),
+        )
+    )
+
+
+def triple_intervals(
+    triples: DataFrame, pages: DataFrame, origin: str | None = None
+) -> DataFrame:
+    """(subj, pred, obj, first_seen_sec, last_seen_sec, span_sec,
+    n_obs): the temporal-KG layer — per distinct assertion, when the
+    crawl first and last observed it. A triple whose evidence spans
+    years of crawl timestamps is durable knowledge; one whose
+    observations cluster in a single hour is an event (or a mirror
+    burst). KG versioning and decay-weighted confidence both key off
+    exactly this interval.
+
+    ``origin`` (a ``yyyy-MM-dd HH:mm:ss`` string) anchors the output:
+    first/last are emitted as integer second-offsets from it, computed
+    as cast-to-long differences — a timestamp SPAN, so the arithmetic
+    is timezone-free and the DuckDB oracle replays it exactly with
+    ``date_diff('second', TIMESTAMP origin, ts)`` (the same device as
+    the fetch-log span; see driver-contract notes in BENCH.md). With
+    ``origin=None`` the raw min/max timestamps are returned instead
+    (the programmatic API; offsets exist for the hash gate).
+
+    Shapes, at 10^12-document scale: the (url -> warc_ts) side joins on
+    url, the SAME key the extract stage already hash-partitioned on —
+    co-located, no extra full shuffle — and the groupBy keys on the
+    high-cardinality (subj, pred, obj), not on any skewed singleton.
+    min/max/count all partial-aggregate map-side, so head-entity triples
+    cost their reducer only the merged partials.
+
+    Reference scope: the reference has no crawl-time axis at all
+    (single upload, /root/reference/src/routes/documents.py); the
+    temporal layer belongs to the Common-Crawl-style corpus this engine
+    targets.
+    """
+    ts = pages.select("url", "warc_ts")
+    j = triples.join(ts, "url")
+    agg = j.groupBy("subj", "pred", "obj").agg(
+        F.min("warc_ts").alias("__first"),
+        F.max("warc_ts").alias("__last"),
+        F.count("*").alias("n_obs"),
+    )
+    span = (F.col("__last").cast("long") - F.col("__first").cast("long")).alias(
+        "span_sec"
+    )
+    if origin is None:
+        return agg.select(
+            "subj",
+            "pred",
+            "obj",
+            F.col("__first").alias("first_seen"),
+            F.col("__last").alias("last_seen"),
+            span,
+            F.col("n_obs").cast("long").alias("n_obs"),
+        )
+    t0 = F.to_timestamp(F.lit(origin)).cast("long")
+    return agg.select(
+        "subj",
+        "pred",
+        "obj",
+        (F.col("__first").cast("long") - t0).alias("first_seen_sec"),
+        (F.col("__last").cast("long") - t0).alias("last_seen_sec"),
+        span,
+        F.col("n_obs").cast("long").alias("n_obs"),
+    )

@@ -1359,6 +1359,93 @@ SELECT url, CAST(COUNT(*) AS BIGINT) AS n_fetches,
 FROM flog GROUP BY url"""
 
 
+def _predicate_stats_sql(n_pages: int) -> str:
+    """triples.predicate_stats replayed over the kg_triples SQL (nested
+    CTE): the (pred, subj, obj) pre-aggregation with per-pair counts,
+    the per-pred rollups, and the PARIS functionality ratios in the
+    same integer fixed-point (DuckDB ``//`` == Spark ``div`` on
+    nonnegative ints)."""
+    return f"""
+WITH trip AS ({_kg_triples_sql(n_pages)}),
+pairs AS (SELECT pred, subj, obj, COUNT(*) AS n_obs
+          FROM trip GROUP BY pred, subj, obj),
+base AS (SELECT pred, COUNT(*) AS n_triples, SUM(n_obs) AS n_obs
+         FROM pairs GROUP BY pred),
+ns AS (SELECT pred, COUNT(DISTINCT subj) AS n_subj FROM pairs GROUP BY pred),
+nb AS (SELECT pred, COUNT(DISTINCT obj) AS n_obj FROM pairs GROUP BY pred)
+SELECT b.pred,
+       CAST(b.n_triples AS BIGINT) AS n_triples,
+       CAST(b.n_obs AS BIGINT) AS n_obs,
+       CAST(ns.n_subj AS BIGINT) AS n_subj,
+       CAST(nb.n_obj AS BIGINT) AS n_obj,
+       CAST((1000000 * ns.n_subj) // b.n_triples AS BIGINT)
+           AS functionality_micros,
+       CAST((1000000 * nb.n_obj) // b.n_triples AS BIGINT)
+           AS inv_functionality_micros
+FROM base b
+JOIN ns ON ns.pred = b.pred
+JOIN nb ON nb.pred = b.pred"""
+
+
+def _triple_intervals_sql(n_pages: int) -> str:
+    """triples.triple_intervals replayed: the kg_triples SQL nested as a
+    CTE, the synth (url, warc_ts) dim inlined as TIMESTAMP-literal
+    VALUES, and first/last as ``date_diff('second', epoch, ts)`` —
+    timestamp DIFFERENCES, so the arithmetic is timezone-free and
+    matches Spark's cast-to-long subtraction exactly (the fetch-log
+    span device)."""
+    from .synth import synth_pages
+
+    vals = ",\n".join(
+        f"({_sql_lit(p['url'])}, TIMESTAMP '{p['warc_ts']:%Y-%m-%d %H:%M:%S}')"
+        for p in synth_pages(n_pages)
+    )
+    t0 = "TIMESTAMP '2025-01-01 00:00:00'"
+    return f"""
+WITH trip AS ({_kg_triples_sql(n_pages)}),
+pts(url, warc_ts) AS (VALUES {vals}),
+j AS (SELECT t.subj, t.pred, t.obj, p.warc_ts
+      FROM trip t JOIN pts p ON p.url = t.url)
+SELECT subj, pred, obj,
+       CAST(date_diff('second', {t0}, MIN(warc_ts)) AS BIGINT)
+           AS first_seen_sec,
+       CAST(date_diff('second', {t0}, MAX(warc_ts)) AS BIGINT)
+           AS last_seen_sec,
+       CAST(date_diff('second', MIN(warc_ts), MAX(warc_ts)) AS BIGINT)
+           AS span_sec,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM j GROUP BY subj, pred, obj"""
+
+
+# dedup.dup_span_fraction replayed (n=4): one row per 4-gram window
+# START (non-distinct occurrence stream), the (doc_id, sh) pre-agg, the
+# ">= 2 distinct docs" hot set (per has one row per (doc_id, sh), so
+# COUNT(*) per sh IS the distinct-doc count), and the integer
+# fixed-point fraction — CASE-guarded 0 for docs shorter than 4 tokens,
+# identical on both engines.
+_DUP_SPAN_FRACTION_SQL = f"""
+WITH tok_arr AS (SELECT doc_id, {_TOK} AS arr FROM documents),
+occ AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(arr) - 2),
+                      i -> arr[i] || ' ' || arr[i + 1] || ' ' ||
+                           arr[i + 2] || ' ' || arr[i + 3])) AS sh
+        FROM tok_arr WHERE len(arr) >= 4),
+per AS (SELECT doc_id, sh, COUNT(*) AS n_occ FROM occ GROUP BY doc_id, sh),
+hot AS (SELECT sh FROM per GROUP BY sh HAVING COUNT(*) >= 2),
+dup AS (SELECT doc_id, SUM(n_occ) AS nd FROM per
+        WHERE sh IN (SELECT sh FROM hot) GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS nw FROM occ GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(t.nw, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(u.nd, 0) AS BIGINT) AS n_dup_windows,
+       CAST(CASE WHEN COALESCE(t.nw, 0) = 0 THEN 0
+                 ELSE (1000000 * COALESCE(u.nd, 0)) // t.nw END AS BIGINT)
+           AS dup_frac_micros
+FROM documents d
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN dup u ON u.doc_id = d.doc_id"""
+
+
 def _crawl_frontier_sql(n_pages: int, iters: int = 6, scale: int = 10**12) -> str:
     """webgraph.crawl_frontier replayed: outlink targets from the shared
     hl CTE canonicalized with the SAME _canon_chain the url_normalize
@@ -2125,6 +2212,9 @@ FROM injected
     "stratified_sample": _stratified_sample_sql(200),
     "kg_negative_samples": _kg_negative_samples_sql(200),
     "triple_support": _triple_support_sql(200),
+    "predicate_stats": _predicate_stats_sql(200),
+    "triple_intervals": _triple_intervals_sql(200),
+    "dup_span_fraction": _DUP_SPAN_FRACTION_SQL,
     # kmeans_clusters is rendered at call time in oracle_sql_map (the
     # trained codebook inlines from the parity sf dir, same as ivf_topk)
 }

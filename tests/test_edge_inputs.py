@@ -116,3 +116,67 @@ def test_zero_pages_crawl_tail_ops(spark):
     )
     assert webgraph.crawl_frontier(plain, iters=2).count() == 0
     assert fetchlog.latest_fetches(plain.select("url", "warc_ts", "text")).count() == 30
+
+
+def test_edge_inputs_schema_temporal_spandedup_ops(spark):
+    """predicate_stats / triple_intervals / dup_span_fraction on empty
+    and degenerate inputs: empty typed frames (or all-zero signal rows),
+    never exceptions."""
+    from pyspark.sql import functions as F
+
+    from ner_app_spark.operators.dedup import dup_span_fraction
+    from ner_app_spark.operators.triples import (
+        predicate_stats,
+        triple_intervals,
+    )
+
+    empty_triples = spark.createDataFrame(
+        [], "url string, subj string, pred string, obj string"
+    )
+    empty_pages = synth_pages_df(spark, 0, num_partitions=2)
+    assert predicate_stats(empty_triples).count() == 0
+    assert triple_intervals(empty_triples, empty_pages).count() == 0
+    assert (
+        triple_intervals(
+            empty_triples, empty_pages, origin="2025-01-01 00:00:00"
+        ).count()
+        == 0
+    )
+
+    # triples whose urls are absent from the page dim: the inner join
+    # drops them (no timestamps to aggregate), no null intervals leak
+    orphan = spark.createDataFrame(
+        [("http://nowhere/x", "a", "synonym", "b")],
+        "url string, subj string, pred string, obj string",
+    )
+    assert triple_intervals(orphan, synth_pages_df(spark, 5)).count() == 0
+
+    # functional predicate: one object per subject -> functionality 1.0
+    fn = spark.createDataFrame(
+        [("u1", "s1", "p", "o1"), ("u2", "s2", "p", "o2")],
+        "url string, subj string, pred string, obj string",
+    )
+    row = predicate_stats(fn).first()
+    assert row["functionality_micros"] == 1_000_000
+    assert row["n_triples"] == 2 and row["n_obs"] == 2
+
+    # dup_span_fraction: empty corpus -> 0 rows; docs shorter than n
+    # tokens -> n_windows 0 and frac 0 (CASE guard); a verbatim copy
+    # pair -> every window duplicated (frac exactly 1.0 in micros)
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dup_span_fraction(empty_docs, n=4).count() == 0
+    docs = spark.createDataFrame(
+        [
+            (1, "too short"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon zeta"),
+            (4, "wholly unrelated text without any overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_span_fraction(docs, n=4).collect()}
+    assert len(out) == 4
+    assert out[1]["n_windows"] == 0 and out[1]["dup_frac_micros"] == 0
+    assert out[2]["dup_frac_micros"] == 1_000_000
+    assert out[3]["dup_frac_micros"] == 1_000_000
+    assert out[4]["n_dup_windows"] == 0 and out[4]["dup_frac_micros"] == 0
