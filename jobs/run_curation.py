@@ -10,7 +10,8 @@ train/val/test split -> per-split parquet.
         jobs/run_curation.py --input /root/testdata/sf0.01/documents.parquet \
         --output /tmp/curated [--min-quality 0.5] [--min-jaccard 0.3] \
         [--sample 0.5] [--decontam <eval docs parquet>] [--strip-pii] \
-        [--max-dup-line-frac 0.5] [--max-top2gram-frac 0.5]
+        [--max-dup-line-frac 0.5] [--max-top2gram-frac 0.5] \
+        [--max-dup-span-frac 0.5 [--dup-span-ngram 8]]
 
 Every stage is deterministic, so re-running the job over the same input
 reproduces the identical curated corpus (and over a GROWN input, every
@@ -48,9 +49,15 @@ def main() -> int:
     ap.add_argument("--max-top2gram-frac", type=float, default=0.5,
                     help="drop docs whose top-2-gram token-mass fraction "
                          "exceeds this")
+    ap.add_argument("--max-dup-span-frac", type=float, default=None,
+                    help="drop docs whose cross-document duplicated-span "
+                         "fraction (verbatim --dup-span-ngram-gram window "
+                         "starts shared with >=1 other doc) exceeds this")
+    ap.add_argument("--dup-span-ngram", type=int, default=8)
     args = ap.parse_args()
 
     from ner_app_spark.operators.decontam import decontaminate, eval_shingle_dim
+    from ner_app_spark.operators.dedup import dup_span_fraction
     from ner_app_spark.operators.graphalgo import dup_clusters
     from ner_app_spark.operators.pii import redact_pii
     from ner_app_spark.operators.sampling import hash_sample, hash_split
@@ -83,6 +90,19 @@ def main() -> int:
         gated = gated.join(clean_ids, "doc_id", "left_semi")
         n_decontaminated = before - gated.count()
 
+    # 2b. optional substring-level dedup gate (Lee et al.): drop docs
+    # whose cross-document verbatim-span mass is too high — catches the
+    # partially-copied pages document-level LSH scores below threshold
+    n_span_dropped = None
+    if args.max_dup_span_frac is not None:
+        frac = dup_span_fraction(gated, n=args.dup_span_ngram)
+        keep_ids = frac.filter(
+            F.col("dup_frac_micros") <= int(args.max_dup_span_frac * 1_000_000)
+        ).select("doc_id")
+        before = gated.count()
+        gated = gated.join(keep_ids, "doc_id", "left_semi")
+        n_span_dropped = before - gated.count()
+
     # 3. near-dup keeper selection (LSH -> verify -> CC -> one per cluster)
     keepers = dup_clusters(gated, min_jaccard=args.min_jaccard).filter(
         "is_keeper"
@@ -111,6 +131,7 @@ def main() -> int:
         "wall_sec": wall,
         "input_docs": n_input,
         "decontam_dropped": n_decontaminated,
+        "dup_span_dropped": n_span_dropped,
         "quality_kept": gated.count(),
         "dedup_kept": int(sum(by_split.values())) if args.sample is None else None,
         "written": int(sum(by_split.values())),

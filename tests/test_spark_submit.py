@@ -323,6 +323,30 @@ def test_run_curation_decontam_and_pii_flags(pyfiles_zip, tmp_path, spark):
     assert joined.filter(F.col("t2") != F.col("text")).count() == 0
 
 
+def test_run_curation_dup_span_gate(pyfiles_zip, tmp_path, spark):
+    """--max-dup-span-frac drops docs whose cross-document verbatim-span
+    mass exceeds the threshold BEFORE keeper selection (the testdata
+    corpus carries near-identical doc pairs whose 8-gram dup fraction is
+    1.0), and every kept doc re-verifies under the gate."""
+    from pyspark.sql import functions as F
+
+    from ner_app_spark.operators.dedup import dup_span_fraction
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    outdir = str(tmp_path / "curated_span")
+    got = _submit(
+        pyfiles_zip, "run_curation.py",
+        "--input", src, "--output", outdir,
+        "--max-dup-span-frac", "0.8", "--dup-span-ngram", "8",
+    )
+    assert got["dup_span_dropped"] is not None and got["dup_span_dropped"] >= 1
+    # recomputing the fraction on the kept subset only removes evidence
+    # (monotone down), so kept docs must all sit at or under the gate
+    kept = spark.read.parquet(outdir)
+    frac = dup_span_fraction(kept, n=8)
+    assert frac.filter(F.col("dup_frac_micros") > 800_000).count() == 0
+
+
 def test_run_pipeline_host_quality_gate(pyfiles_zip, spark):
     """--min-host-quality block-lists low-quality domains before
     extraction: the JSON carries the gate counters, and the documents
