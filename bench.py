@@ -313,6 +313,9 @@ def run_bench() -> dict:
         "triple_intervals": QUERIES["triple_intervals"],
         # substring-level dedup signal (Lee et al.) over sf documents
         "dup_span_fraction": QUERIES["dup_span_fraction"],
+        # EL ambiguity prior: dim-side entity fan-out x salted corpus
+        # exposure, semi-filtered to the alias set before the broadcast
+        "alias_ambiguity": QUERIES["alias_ambiguity"],
     }
     extras: dict[str, float] = {}
     for name, fn in extras_fns.items():

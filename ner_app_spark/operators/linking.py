@@ -169,3 +169,64 @@ def link_occurrences(phrases: DataFrame, links: DataFrame) -> DataFrame:
     return phrases.join(
         links.withColumnRenamed("mention", "head_noun"), "head_noun", "inner"
     ).select("url", "phrase", "head_noun", "entity_id", "canonical_name", "score")
+
+
+def alias_ambiguity(
+    phrases: DataFrame, aliases: DataFrame, mention_col: str = "head_noun"
+) -> DataFrame:
+    """(alias, n_entities, is_ambiguous, n_docs, n_occurrences): the
+    entity-linking ambiguity prior — for every dictionary alias, how
+    many distinct entities it can denote, and how much corpus exposure
+    the ambiguity actually gets (documents / mention occurrences whose
+    mention string equals the alias). Linking QA ranks disambiguation
+    effort by exactly this product: an alias pointing at five entities
+    but never mentioned is harmless; a two-entity alias mentioned in
+    10^8 documents is where link errors live.
+
+    Shapes, at 10^12-document scale:
+
+    * ``n_entities`` aggregates the DIMENSION side only — dictionary-
+      sized, never touches the corpus.
+    * per-mention corpus stats run through the two-phase salted
+      distinct (operators/skew.py): head mentions concentrate document
+      sets exactly like head entities, so the distinct-url count never
+      keys a shuffle on the bare mention.
+    * the final join semi-filters the corpus-side stats down to the
+      dictionary's alias set FIRST (broadcast of the dim keys), making
+      the surviving stats dimension-sized — so the left join that keeps
+      unseen aliases broadcasts the small side instead of shuffling the
+      corpus aggregate.
+
+    Reference scope: the reference's dictionary lookup is a per-request
+    exact probe (/root/reference/src/services/dictionary_service.py:
+    186-217) with no ambiguity accounting; the corpus-exposure prior is
+    part of the web-scale linking layer, like link_mentions above.
+    """
+    from .skew import salted_distinct_count
+
+    ents = aliases.groupBy("alias").agg(
+        F.countDistinct("entity_id").alias("n_entities")
+    )
+    occ = phrases.filter(F.col(mention_col) != "").select(
+        F.col(mention_col).alias("mention"), "url"
+    )
+    mstats = salted_distinct_count(
+        occ, ["mention"], "url", out="n_docs", count_out="n_occurrences"
+    )
+    seen = mstats.join(
+        F.broadcast(ents.select(F.col("alias").alias("mention"))),
+        "mention",
+        "left_semi",
+    ).withColumnRenamed("mention", "alias")
+    return (
+        ents.join(F.broadcast(seen), "alias", "left")
+        .select(
+            "alias",
+            F.col("n_entities").cast("long").alias("n_entities"),
+            (F.col("n_entities") >= 2).alias("is_ambiguous"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_occurrences", F.lit(0))
+            .cast("long")
+            .alias("n_occurrences"),
+        )
+    )

@@ -1359,6 +1359,29 @@ SELECT url, CAST(COUNT(*) AS BIGINT) AS n_fetches,
 FROM flog GROUP BY url"""
 
 
+def _alias_ambiguity_sql(n_pages: int) -> str:
+    """linking.alias_ambiguity replayed: the alias dictionary inlined as
+    VALUES, the per-alias distinct-entity fan-out, and the corpus-side
+    mention stats (distinct docs + occurrences of head_noun mentions)
+    over the same phrase CTE the kg_* rows hash-verify. The salted
+    two-phase distinct collapses to a plain COUNT(DISTINCT url) here —
+    the salt only re-shapes the shuffle, never the answer."""
+    return _kg_base_cte(n_pages) + f""",
+aliasdim(alias, entity_id, canonical_name) AS (VALUES {_alias_dict_vals()}),
+ents AS (SELECT alias, COUNT(DISTINCT entity_id) AS n_entities
+         FROM aliasdim GROUP BY alias),
+occ AS (SELECT url, head_noun AS mention FROM ph WHERE head_noun <> ''),
+mstats AS (SELECT mention, COUNT(DISTINCT url) AS n_docs,
+                  COUNT(*) AS n_occurrences
+           FROM occ GROUP BY mention)
+SELECT e.alias,
+       CAST(e.n_entities AS BIGINT) AS n_entities,
+       e.n_entities >= 2 AS is_ambiguous,
+       CAST(COALESCE(m.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(m.n_occurrences, 0) AS BIGINT) AS n_occurrences
+FROM ents e LEFT JOIN mstats m ON m.mention = e.alias"""
+
+
 def _predicate_stats_sql(n_pages: int) -> str:
     """triples.predicate_stats replayed over the kg_triples SQL (nested
     CTE): the (pred, subj, obj) pre-aggregation with per-pair counts,
@@ -2215,6 +2238,7 @@ FROM injected
     "predicate_stats": _predicate_stats_sql(200),
     "triple_intervals": _triple_intervals_sql(200),
     "dup_span_fraction": _DUP_SPAN_FRACTION_SQL,
+    "alias_ambiguity": _alias_ambiguity_sql(200),
     # kmeans_clusters is rendered at call time in oracle_sql_map (the
     # trained codebook inlines from the parity sf dir, same as ivf_topk)
 }

@@ -180,3 +180,35 @@ def test_edge_inputs_schema_temporal_spandedup_ops(spark):
     assert out[2]["dup_frac_micros"] == 1_000_000
     assert out[3]["dup_frac_micros"] == 1_000_000
     assert out[4]["n_dup_windows"] == 0 and out[4]["dup_frac_micros"] == 0
+
+
+def test_edge_inputs_alias_ambiguity(spark):
+    """alias_ambiguity: empty dictionary -> empty; corpus-free phrases ->
+    every alias kept with zero exposure; an ambiguous alias flags."""
+    from ner_app_spark.operators.linking import alias_ambiguity
+
+    empty_dim = spark.createDataFrame(
+        [], "alias string, entity_id long, canonical_name string"
+    )
+    empty_phrases = spark.createDataFrame([], "url string, head_noun string")
+    assert alias_ambiguity(empty_phrases, empty_dim).count() == 0
+
+    dim = spark.createDataFrame(
+        [("река", 1, "РЕКА"), ("река", 2, "РЕКА_АЛЬТ"), ("гора", 3, "ГОРА")],
+        "alias string, entity_id long, canonical_name string",
+    )
+    out = {
+        r["alias"]: r
+        for r in alias_ambiguity(empty_phrases, dim).collect()
+    }
+    assert out["река"]["n_entities"] == 2 and out["река"]["is_ambiguous"]
+    assert out["река"]["n_docs"] == 0 and out["река"]["n_occurrences"] == 0
+    assert out["гора"]["n_entities"] == 1 and not out["гора"]["is_ambiguous"]
+
+    phrases = spark.createDataFrame(
+        [("u1", "река"), ("u1", "река"), ("u2", "река"), ("u9", "море")],
+        "url string, head_noun string",
+    )
+    out = {r["alias"]: r for r in alias_ambiguity(phrases, dim).collect()}
+    assert out["река"]["n_docs"] == 2 and out["река"]["n_occurrences"] == 3
+    assert out["гора"]["n_docs"] == 0  # unseen alias survives the left join
