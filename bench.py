@@ -316,6 +316,8 @@ def run_bench() -> dict:
         # EL ambiguity prior: dim-side entity fan-out x salted corpus
         # exposure, semi-filtered to the alias set before the broadcast
         "alias_ambiguity": QUERIES["alias_ambiguity"],
+        # concat-and-chunk packing offsets: bucket-sharded cumsum + div
+        "pack_chunks": QUERIES["pack_chunks"],
     }
     extras: dict[str, float] = {}
     for name, fn in extras_fns.items():

@@ -162,3 +162,79 @@ def stratified_sample(
     for s, r in sorted(rates.items()):
         thr = F.when(F.col(stratum) == s, F.lit(int(r * (1 << 32)))).otherwise(thr)
     return df.filter(_md5_u32_le(F.col(key)) < thr)
+
+
+def pack_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 2048,
+    n_buckets: int = 32,
+    key: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, bucket, n_tokens, start_offset, end_offset, first_chunk,
+    last_chunk, n_chunks): GPT-style concat-and-chunk packing offsets —
+    the map from each document to the fixed-size training sequences its
+    tokens land in. Pretraining pipelines concatenate the corpus and
+    cut every ``chunk_tokens`` tokens; this operator computes where
+    every document falls in that stream WITHOUT materializing it, so a
+    downstream tokenizer job can emit sequence shards directly.
+
+    The global concatenation order would need a partition-less window
+    (the single-reducer sort this repo bans from every plan), so the
+    stream is sharded: each doc hashes to one of ``n_buckets``
+    independent sub-streams (md5-u32 of ``key`` — the hash_split
+    device, so the shard assignment is reproducible across runs and
+    stable under corpus growth), and packing runs per shard with a
+    bucket-PARTITIONED cumulative sum ordered by the unique key. This
+    is exactly how a 1000-executor packing job shards: sub-streams are
+    embarrassingly parallel, each executor seals its own sequences, and
+    the only cross-partition motion is the one exchange on bucket.
+    Zero-token docs contribute nothing to any chunk and are dropped.
+
+    All outputs are exact integers (offsets, ``div`` chunk ids), so the
+    DuckDB oracle replays the row bit-identically.
+
+    Reference scope: the reference trains nothing (inference-only NER,
+    /root/reference/src/services/ner_service.py); sequence packing is
+    part of the training-data curation layer, like hash_split above.
+    """
+    from pyspark.sql.window import Window
+
+    from .tfidf import TOKEN_SQL_RE
+
+    n_tok = F.size(
+        F.expr(f"regexp_extract_all(lower(text), '{TOKEN_SQL_RE}', 0)")
+    ).cast("long")
+    base = docs.select(
+        F.col(key),
+        (_md5_u32_le(F.col(key)) % n_buckets).cast("long").alias("bucket"),
+        n_tok.alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    out = base.select(
+        key,
+        "bucket",
+        "n_tokens",
+        (cum - F.col("n_tokens")).cast("long").alias("start_offset"),
+        cum.cast("long").alias("end_offset"),
+    )
+    return out.select(
+        key,
+        "bucket",
+        "n_tokens",
+        "start_offset",
+        "end_offset",
+        F.expr(f"start_offset div {chunk_tokens}").cast("long").alias("first_chunk"),
+        F.expr(f"(end_offset - 1) div {chunk_tokens}").cast("long").alias("last_chunk"),
+        (
+            F.expr(f"(end_offset - 1) div {chunk_tokens}")
+            - F.expr(f"start_offset div {chunk_tokens}")
+            + 1
+        )
+        .cast("long")
+        .alias("n_chunks"),
+    )

@@ -1359,6 +1359,35 @@ SELECT url, CAST(COUNT(*) AS BIGINT) AS n_fetches,
 FROM flog GROUP BY url"""
 
 
+def _pack_chunks_sql(chunk_tokens: int = 512, n_buckets: int = 32) -> str:
+    """sampling.pack_chunks replayed: the md5-u32 bucket (hash_split
+    digit device over CAST(doc_id AS VARCHAR)), the bucket-partitioned
+    running token sum (ROWS UNBOUNDED PRECEDING — doc_id is unique, so
+    the frame is unambiguous in both engines), and the integer ``//``
+    chunk ids."""
+    h = _md5_u32_le("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH base AS (SELECT doc_id, ({h}) % {n_buckets} AS bucket,
+                     len({_TOK}) AS n_tokens
+              FROM documents),
+nz AS (SELECT * FROM base WHERE n_tokens > 0),
+c AS (SELECT doc_id, bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM nz)
+SELECT doc_id,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST(cum AS BIGINT) AS end_offset,
+       CAST((cum - n_tokens) // {chunk_tokens} AS BIGINT) AS first_chunk,
+       CAST((cum - 1) // {chunk_tokens} AS BIGINT) AS last_chunk,
+       CAST((cum - 1) // {chunk_tokens}
+            - (cum - n_tokens) // {chunk_tokens} + 1 AS BIGINT) AS n_chunks
+FROM c"""
+
+
 def _alias_ambiguity_sql(n_pages: int) -> str:
     """linking.alias_ambiguity replayed: the alias dictionary inlined as
     VALUES, the per-alias distinct-entity fan-out, and the corpus-side
@@ -2239,6 +2268,7 @@ FROM injected
     "triple_intervals": _triple_intervals_sql(200),
     "dup_span_fraction": _DUP_SPAN_FRACTION_SQL,
     "alias_ambiguity": _alias_ambiguity_sql(200),
+    "pack_chunks": _pack_chunks_sql(chunk_tokens=512),
     # kmeans_clusters is rendered at call time in oracle_sql_map (the
     # trained codebook inlines from the parity sf dir, same as ivf_topk)
 }

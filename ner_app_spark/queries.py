@@ -1396,6 +1396,16 @@ def q_alias_ambiguity(spark, sf_dir):
     return alias_ambiguity(phrases, alias_dict_df(spark))
 
 
+def q_pack_chunks(spark, sf_dir):
+    # GPT-style concat-and-chunk packing offsets over the documents
+    # table: md5-bucketed sub-streams (no global order), bucket-
+    # partitioned cumulative sum, integer div chunk ids — all exact
+    # (operators/sampling.py).
+    from .operators.sampling import pack_chunks
+
+    return pack_chunks(_t(spark, sf_dir, "documents"), chunk_tokens=512)
+
+
 def q_anchor_aliases(spark, sf_dir):
     # anchor-text alias mining over the web link layer: the candidate
     # alias dictionary for entity linking. n_src_hosts runs through the
@@ -1512,7 +1522,7 @@ q_host_pagerank = _eager_once(q_host_pagerank)
 q_domain_table = _eager_once(q_domain_table)
 
 
-# 82 entries, the FIRST 50 of which are the driver-evaluated window: the
+# 83 entries, the FIRST 50 of which are the driver-evaluated window: the
 # parity driver evaluates at most 50 registry entries (round-1 evidence:
 # CORRECTNESS_r01 recorded precisely the first 50 of 53, dict order), so
 # every SURVEY §2 operator row is budgeted into positions 1-50.
@@ -1641,4 +1651,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triple_intervals": q_triple_intervals,
     "dup_span_fraction": q_dup_span_fraction,
     "alias_ambiguity": q_alias_ambiguity,
+    "pack_chunks": q_pack_chunks,
 }

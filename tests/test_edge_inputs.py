@@ -212,3 +212,37 @@ def test_edge_inputs_alias_ambiguity(spark):
     out = {r["alias"]: r for r in alias_ambiguity(phrases, dim).collect()}
     assert out["река"]["n_docs"] == 2 and out["река"]["n_occurrences"] == 3
     assert out["гора"]["n_docs"] == 0  # unseen alias survives the left join
+
+
+def test_edge_inputs_pack_chunks(spark):
+    """pack_chunks: empty corpus -> empty; zero-token docs dropped; each
+    bucket's sub-stream tiles [0, total) with no gaps; chunk ids are
+    exactly the integer-division images of the offsets."""
+    from pyspark.sql import functions as F
+
+    from ner_app_spark.operators.sampling import pack_chunks
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_chunks(empty).count() == 0
+
+    docs = spark.createDataFrame(
+        [(i, "слово " * (40 * (i % 3)) if i % 7 else "") for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = pack_chunks(docs, chunk_tokens=64, n_buckets=4).collect()
+    # zero-token docs (i%7==0 and i%3==0 rows) never appear
+    zero_ids = {i for i in range(60) if i % 7 == 0 or i % 3 == 0}
+    assert zero_ids.isdisjoint({r["doc_id"] for r in out})
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        assert r["end_offset"] - r["start_offset"] == r["n_tokens"]
+        assert r["first_chunk"] == r["start_offset"] // 64
+        assert r["last_chunk"] == (r["end_offset"] - 1) // 64
+        assert r["n_chunks"] == r["last_chunk"] - r["first_chunk"] + 1 >= 1
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rows:  # offsets tile the sub-stream without gaps
+            assert r["start_offset"] == pos
+            pos = r["end_offset"]
