@@ -22,6 +22,10 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import hashlib
+import math
+from collections import Counter
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -138,15 +142,17 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
     )
 
 
-def link_mentions(
+def link_mentions_df(
     phrases: DataFrame,
     aliases: DataFrame,
     min_score: float = 0.5,
     mention_col: str = "head_noun",
 ) -> DataFrame:
-    """phrases -> (mention, entity_id, canonical_name, score): top-1 link
-    per distinct mention above threshold. Deterministic tie-break
-    (score desc, entity_id asc)."""
+    """DataFrame-composition reference path: candidate_pairs -> score_pairs
+    -> top-1 window. Semantically identical to ``link_mentions`` (the
+    production Arrow path below) — tests/test_linking_components pins the
+    two bit-identical. Kept because its plan is the direct declarative
+    transcript of the DuckDB oracle (oracles._kg_links_cte)."""
     mentions = (
         phrases.filter(F.col(mention_col) != "")
         .select(F.col(mention_col).alias("mention"))
@@ -162,6 +168,148 @@ def link_mentions(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def _py_shingles(s: str) -> list[str]:
+    """char_shingles replicated in Python: one entry per char-3gram
+    OCCURRENCE of lower(s); strings shorter than 3 yield themselves
+    (substring clamping, same as the SQL/DataFrame forms)."""
+    lc = s.lower()
+    return [lc[i : i + 3] for i in range(max(len(lc) - 2, 1))]
+
+
+def _py_band_sigs(sh_set: set[str], n_bands: int = N_BANDS) -> list[str]:
+    """minhash_signatures replicated in Python: per band, the
+    lexicographic min of md5(band || '|' || shingle) hex digests —
+    hashlib.md5 over UTF-8 bytes is the same function Spark's ``md5``
+    and DuckDB's ``md5`` compute, which is what keeps all three paths
+    candidate-identical."""
+    return [
+        min(hashlib.md5(f"{b}|{sh}".encode()).hexdigest() for sh in sh_set)
+        for b in range(n_bands)
+    ]
+
+
+def _alias_index(dim_rows) -> tuple[dict, dict, dict, dict]:
+    """Driver-side dimension prep for the Arrow linker: per-alias entity
+    list, shingle Counter, norm, and the (band, sig) -> aliases LSH
+    bucket index. Dictionary-sized (the same frame the DataFrame path
+    broadcasts), built once and shipped via sc.broadcast."""
+    by_alias: dict[str, list] = {}
+    acnt: dict[str, Counter] = {}
+    anorm: dict[str, float] = {}
+    band_ix: dict[tuple[int, str], set] = {}
+    for r in dim_rows:
+        by_alias.setdefault(r["alias"], []).append(
+            (r["entity_id"], r["canonical_name"])
+        )
+        if r["alias"] not in acnt:
+            c = Counter(_py_shingles(r["alias"]))
+            acnt[r["alias"]] = c
+            anorm[r["alias"]] = math.sqrt(sum(v * v for v in c.values()))
+            for b, sig in enumerate(_py_band_sigs(set(c))):
+                band_ix.setdefault((b, sig), set()).add(r["alias"])
+    return by_alias, acnt, anorm, band_ix
+
+
+def link_mentions(
+    phrases: DataFrame,
+    aliases: DataFrame,
+    min_score: float = 0.5,
+    mention_col: str = "head_noun",
+) -> DataFrame:
+    """phrases -> (mention, alias, entity_id, canonical_name, score):
+    top-1 link per distinct mention above threshold, deterministic
+    tie-break (score desc, entity_id asc, alias asc).
+
+    Production shape: ONE Arrow stage over the distinct-mention
+    vocabulary with the alias-dictionary index broadcast — the literal
+    "alias dictionary broadcast join + char-ngram MinHash blocking with
+    vectorized link-scoring" (BASELINE north star), executed as
+    mapInPandas instead of the ~10-exchange join tree of
+    ``link_mentions_df``. Every mention links independently, so the
+    stage is embarrassingly parallel and shuffle-free: the only exchange
+    left in the whole linking plan is the mention ``distinct``.
+
+    Why this is the right call both locally and at 10^12 docs:
+      * the join tree's exchanges are all over DIMENSION-sized frames
+        (7k distinct mentions, 41k candidate pairs at 40k pages) — pure
+        scheduling latency that does not shrink with added cores; the
+        scaling decomposition (SCALING_watcher9) measured the links
+        stage 3.0 s flat at BOTH 8 and 32 cores. One Arrow stage removes
+        ~1.2 s of that floor at every parallelism level.
+      * at cluster scale the mention vocabulary streams through Arrow
+        batches partition-by-partition, and the alias index rides the
+        same broadcast the join-based plan would ship.
+    Bit-exactness vs the DuckDB oracle (oracles._kg_links_cte) holds
+    because shingle counts are small integers (exact in double under any
+    accumulation order), norms are sqrt of exact integer sums, and the
+    final divide is one IEEE op all three paths perform identically —
+    tests/test_linking_components pins Arrow == DataFrame == expected.
+    """
+    import pandas as pd
+
+    spark = phrases.sparkSession
+    mentions = (
+        phrases.filter(F.col(mention_col) != "")
+        .select(F.col(mention_col).alias("mention"))
+        .distinct()
+    )
+    dim = aliases.select("alias", "entity_id", "canonical_name").distinct().collect()
+    bc = spark.sparkContext.broadcast(_alias_index(dim))
+    schema = (
+        "mention string, alias string, entity_id long, "
+        "canonical_name string, score double"
+    )
+    empty = {
+        "mention": pd.Series(dtype="object"),
+        "alias": pd.Series(dtype="object"),
+        "entity_id": pd.Series(dtype="int64"),
+        "canonical_name": pd.Series(dtype="object"),
+        "score": pd.Series(dtype="float64"),
+    }
+
+    def link_batches(batches):
+        by_alias, acnt, anorm, band_ix = bc.value
+        for pdf in batches:
+            rows = []
+            for m in pdf["mention"]:
+                mc = Counter(_py_shingles(m))
+                nm = math.sqrt(sum(v * v for v in mc.values()))
+                cand = set()
+                if m in by_alias:  # exact natural-key probe
+                    cand.add(m)
+                for b, sig in enumerate(_py_band_sigs(set(mc))):
+                    cand |= band_ix.get((b, sig), set())
+                best = None
+                for al in cand:
+                    ac = acnt[al]
+                    dot = 0
+                    for sh, cm in mc.items():
+                        ca = ac.get(sh)
+                        if ca:
+                            dot += cm * ca
+                    score = float(dot) / (nm * anorm[al])
+                    if score < min_score:
+                        continue
+                    for eid, cname in by_alias[al]:
+                        key = (-score, eid, al)
+                        if best is None or key < best[0]:
+                            best = (key, (m, al, eid, cname, score))
+                if best is not None:
+                    rows.append(best[1])
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "mention", "alias", "entity_id",
+                        "canonical_name", "score",
+                    ],
+                )
+            else:
+                yield pd.DataFrame(empty)
+
+    return mentions.mapInPandas(link_batches, schema)
 
 
 def link_occurrences(phrases: DataFrame, links: DataFrame) -> DataFrame:

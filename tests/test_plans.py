@@ -45,8 +45,38 @@ def test_dim_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_linking_alias_joins_are_broadcast(spark):
-    plan = _physical(QUERIES["kg_links"](spark, SF_DIR))
+def test_linking_is_single_arrow_stage(spark):
+    """Production linking = distinct mention vocabulary -> ONE mapInPandas
+    stage with the alias index broadcast. No join tree, no window: the
+    dimension-sized exchanges were a parallelism-independent ~1.2 s floor
+    (SCALING_watcher9 measured the links stage flat at 8 vs 32 cores)."""
+    from ner_app_spark.operators.linking import link_mentions
+    from ner_app_spark.sources.pages import alias_dict_df, synth_pages_df
+    from ner_app_spark.operators.extract import extract_phrases
+
+    df = link_mentions(
+        extract_phrases(synth_pages_df(spark, 8), num_partitions=4),
+        alias_dict_df(spark),
+    )
+    plan = _physical(df)
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_linking_df_reference_path_alias_joins_are_broadcast(spark):
+    """The declarative reference path keeps the dimension joins broadcast
+    (never a shuffle of the mention side against the alias dim)."""
+    from ner_app_spark.operators.extract import extract_phrases
+    from ner_app_spark.operators.linking import link_mentions_df
+    from ner_app_spark.sources.pages import alias_dict_df, synth_pages_df
+
+    plan = _physical(
+        link_mentions_df(
+            extract_phrases(synth_pages_df(spark, 8), num_partitions=4),
+            alias_dict_df(spark),
+        )
+    )
     assert "BroadcastHashJoin" in plan
 
 
