@@ -172,26 +172,6 @@ def _schema_field_names(schema: str) -> list[str]:
     return [n for n, _ in _schema_fields(schema)]
 
 
-def _schema_field_names(schema: str) -> list[str]:
-    """Field names from a DDL schema string, splitting on TOP-LEVEL commas
-    only — ``decimal(18,4)`` / ``map<k,v>`` / struct types contain commas
-    that a naive split would break on."""
-    names: list[str] = []
-    depth = 0
-    field: list[str] = []
-    for ch in schema + ",":
-        if ch in "<(":
-            depth += 1
-        elif ch in ">)":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            names.append("".join(field).strip().split()[0])
-            field = []
-            continue
-        field.append(ch)
-    return names
-
-
 def _free_gib(path: str) -> float:
     try:
         st = os.statvfs(path)
