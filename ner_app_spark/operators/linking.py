@@ -378,3 +378,78 @@ def alias_ambiguity(
             .alias("n_occurrences"),
         )
     )
+
+
+#: corpus-narrowed Java/RE2-portable token regex (same narrowing the
+#: DuckDB oracle documents at oracles.py _KG_TOKRE: explicit character
+#: classes instead of unicode \w, punctuation branch = the synthesizer
+#: charset [,.!?]); functions/text.TOKEN_RE is the full Python-side rule
+#: the Arrow extraction stages apply.
+MENTION_TOKEN_RE = "[A-Za-zА-Яа-яёЁ0-9]{2,}(-[A-Za-zА-Яа-яёЁ0-9]{2,})*|[,.!?]"
+MENTION_WORDLIKE_RE = "^[A-Za-zА-Яа-яёЁ0-9-]+$"
+
+
+def mention_contexts(
+    pages: DataFrame,
+    aliases: DataFrame,
+    morph: DataFrame,
+    window: int = 5,
+) -> DataFrame:
+    """(url, pos, mention, lemma, entity_id, canonical_name, left_ctx,
+    right_ctx): the entity-disambiguation training shape — one row per
+    (mention occurrence, candidate entity) with the ±``window``-token
+    surface context around the occurrence. A disambiguation model
+    trains on exactly these rows (context -> which candidate); colliding
+    aliases deliberately fan out to one row PER candidate entity.
+
+    An occurrence is a wordlike token whose lemma (via the broadcast
+    morphology dim — the frozen provider both engines read) is an alias
+    in the dictionary. Context is surface tokens, not lemmas: the model
+    sees what the page said.
+
+    Scale shape: tokenize + posexplode are per-page local (the token
+    array rides along so the context slice is an array op, not a self-
+    join on positions); the morphology and alias dims are broadcast.
+    ZERO shuffles end to end — embarrassingly parallel at any corpus
+    size, and the context window never crosses a row boundary so there
+    is no range-join anywhere.
+
+    Reference scope: the reference links mentions without context
+    (exact dictionary probe, /root/reference/src/services/
+    dictionary_service.py:186-217); context harvesting is the
+    web-scale disambiguation-training layer on top, like
+    alias_ambiguity above.
+    """
+    ru = pages.filter((F.col("lang") == "ru") & (F.length("text") > 0))
+    arrs = ru.select(
+        "url",
+        F.expr(f"regexp_extract_all(text, '{MENTION_TOKEN_RE}', 0)").alias("arr"),
+    )
+    toks = arrs.select(
+        "url", "arr", F.posexplode("arr").alias("p", "tok")
+    ).filter(F.col("tok").rlike(MENTION_WORDLIKE_RE))
+    # the morphology dim is keyed by surface (build_morphology is a
+    # dict), so no dedup pass is needed before the broadcast — the plan
+    # stays free of Exchange hashpartitioning on BOTH sides
+    lem = toks.join(
+        F.broadcast(morph.select(F.col("surface"), F.col("lemma"))),
+        F.lower(F.col("tok")) == F.col("surface"),
+    )
+    hits = lem.join(
+        F.broadcast(aliases.select("alias", "entity_id", "canonical_name")),
+        F.col("lemma") == F.col("alias"),
+    )
+    i = F.col("p") + 1  # 1-based position in the token array
+    left_start = F.greatest(i - window, F.lit(1))
+    return hits.select(
+        "url",
+        F.col("p").cast("long").alias("pos"),
+        F.col("tok").alias("mention"),
+        "lemma",
+        "entity_id",
+        "canonical_name",
+        F.concat_ws(" ", F.slice("arr", left_start, i - left_start)).alias(
+            "left_ctx"
+        ),
+        F.concat_ws(" ", F.slice("arr", i + 1, F.lit(window))).alias("right_ctx"),
+    )

@@ -139,6 +139,88 @@ def negative_samples(triples: DataFrame, n_buckets: int = 64) -> DataFrame:
     )
 
 
+def edge_split(triples: DataFrame) -> DataFrame:
+    """(subj, pred, obj, bucket, split): leak-free link-prediction split
+    over the distinct positive triples — the train/val/test protocol a
+    KG-embedding evaluation consumes downstream of the extraction
+    pipeline (FB15k/WN18-style transductive setting: every entity AND
+    predicate scored at eval time must have a training embedding).
+
+    * provisional assignment: md5-u32 of the canonical triple key (the
+      same chr(31) concat device ``negative_samples`` hashes) mod 100
+      -> 80/10/10 via the hash_split boundaries. Stable across runs,
+      partitionings, and corpus growth — a triple never migrates.
+    * anchor repair: a provisional val/test triple whose subj, obj, or
+      pred never appears in a provisional-TRAIN triple is reassigned to
+      train (evaluating it would score an embedding that does not
+      exist). ONE pass is exact: repair only moves rows INTO train, so
+      the final train entity/predicate sets are supersets of the
+      provisional sets every val/test row was checked against — no
+      fixpoint iteration needed.
+
+    Scale shape: entity anchoring is two equi-joins keyed on subj/obj
+    against the distinct train-entity dim (plain shuffled hash joins —
+    the dim is O(entity vocabulary) and deliberately NOT broadcast);
+    the predicate dim is config-sized and broadcast. The provisional
+    frame is localCheckpoint'ed so the three consumers (entity dim,
+    predicate dim, final projection) share one materialization instead
+    of re-running the upstream extraction lineage. No windows, no
+    driver collect. The DuckDB oracle (oracles._kg_edge_split_sql)
+    replays bucket arithmetic and repair rule bit-exactly.
+    """
+    pos = triples.select("subj", "pred", "obj").distinct()
+    h = _md5_u32_le(F.concat_ws("\x1f", "subj", "pred", "obj"))
+    prov = pos.select(
+        "subj",
+        "pred",
+        "obj",
+        (h % 100).cast("long").alias("bucket"),
+    ).withColumn(
+        "prov",
+        F.when(F.col("bucket") < TRAIN_UPPER, F.lit("train"))
+        .when(F.col("bucket") < VAL_UPPER, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+    prov = prov.localCheckpoint(eager=True)
+    tr = prov.filter(F.col("prov") == "train")
+    ents = (
+        tr.select(F.col("subj").alias("ent"))
+        .union(tr.select(F.col("obj").alias("ent")))
+        .distinct()
+        .withColumn("anchored", F.lit(True))
+    )
+    preds = (
+        tr.select("pred").distinct().withColumn("pred_anchored", F.lit(True))
+    )
+    out = (
+        prov.join(
+            ents.select(F.col("ent").alias("subj"), F.col("anchored").alias("s_ok")),
+            "subj",
+            "left",
+        )
+        .join(
+            ents.select(F.col("ent").alias("obj"), F.col("anchored").alias("o_ok")),
+            "obj",
+            "left",
+        )
+        .join(F.broadcast(preds), "pred", "left")
+    )
+    anchored = (
+        F.col("s_ok").isNotNull()
+        & F.col("o_ok").isNotNull()
+        & F.col("pred_anchored").isNotNull()
+    )
+    return out.select(
+        "subj",
+        "pred",
+        "obj",
+        "bucket",
+        F.when((F.col("prov") == "train") | anchored, F.col("prov"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

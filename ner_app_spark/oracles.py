@@ -1617,6 +1617,69 @@ SELECT subj, pred, obj, arg_min(cand, pref) AS neg_obj
 FROM scand GROUP BY subj, pred, obj"""
 
 
+def _mention_contexts_sql(n_pages: int, window: int = 5) -> str:
+    """linking.mention_contexts replayed: same narrowed token regex,
+    the morphology dim inlined as VALUES from the SAME frozen provider
+    Spark broadcasts (morphology_rows — NOT the corpus-derived tokmap,
+    so both engines drop identical out-of-dim tokens), alias fan-out,
+    and 1-based inclusive list slices mirroring F.slice's clamping."""
+    from .morphology import morphology_rows
+
+    page_vals, _, _, _ = _kg_dims(n_pages)
+    morph_vals = ",\n".join(
+        f"({_sql_lit(s)}, {_sql_lit(l)})" for s, l, _ in morphology_rows()
+    )
+    return f"""
+WITH pages(url, lang, text) AS (VALUES {page_vals}),
+morph(surface, lemma) AS (VALUES {morph_vals}),
+aliasdim(alias, entity_id, canonical_name) AS (VALUES {_alias_dict_vals()}),
+ru AS (SELECT url, text FROM pages WHERE lang = 'ru' AND length(text) > 0),
+arrs AS (SELECT url, regexp_extract_all(text, '{_KG_TOKRE}') AS arr FROM ru),
+t AS (SELECT url, arr, CAST(generate_subscripts(arr, 1) AS INT) AS i,
+             unnest(arr) AS tok FROM arrs),
+w AS (SELECT * FROM t WHERE regexp_full_match(tok, '{_KG_WORDLIKE}')),
+lem AS (SELECT w.url, w.arr, w.i, w.tok, m.lemma
+        FROM w JOIN morph m ON lower(w.tok) = m.surface),
+hits AS (SELECT l.*, a.entity_id, a.canonical_name
+         FROM lem l JOIN aliasdim a ON l.lemma = a.alias)
+SELECT url, CAST(i - 1 AS BIGINT) AS pos, tok AS mention, lemma,
+       CAST(entity_id AS BIGINT) AS entity_id, canonical_name,
+       COALESCE(array_to_string(arr[greatest(i - {window}, 1):i - 1], ' '),
+                '') AS left_ctx,
+       COALESCE(array_to_string(arr[i + 1:i + {window}], ' '), '') AS right_ctx
+FROM hits"""
+
+
+def _kg_edge_split_sql(n_pages: int) -> str:
+    """sampling.edge_split replayed over the SAME triple SQL the
+    kg_triples row hash-verifies: provisional md5-u32 mod-100 bucket
+    (hash_split boundaries), then the one-pass anchor repair — a val/
+    test triple whose subj/obj is outside the provisional-train entity
+    set or whose pred is outside the provisional-train predicate set
+    flips to train. UNION (not UNION ALL) in the entity CTE replays
+    Spark's union().distinct()."""
+    hmd5 = _md5_u32_le("subj || chr(31) || pred || chr(31) || obj")
+    return f"""
+WITH trip AS ({_kg_triples_sql(n_pages)}),
+pos AS (SELECT DISTINCT subj, pred, obj FROM trip),
+prov AS (SELECT subj, pred, obj, bucket,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS prov
+         FROM (SELECT subj, pred, obj, ({hmd5}) % 100 AS bucket FROM pos) b),
+tre AS (SELECT subj AS ent FROM prov WHERE prov = 'train'
+        UNION
+        SELECT obj FROM prov WHERE prov = 'train'),
+trp AS (SELECT DISTINCT pred FROM prov WHERE prov = 'train')
+SELECT subj, pred, obj, CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN prov = 'train' THEN 'train'
+            WHEN subj IN (SELECT ent FROM tre)
+             AND obj IN (SELECT ent FROM tre)
+             AND pred IN (SELECT pred FROM trp) THEN prov
+            ELSE 'train' END AS split
+FROM prov"""
+
+
 _TRIANGLE_SQL = f"""
 WITH {_COOC_CTES},
 tri AS (
@@ -2263,6 +2326,8 @@ FROM injected
     "frontier_waves": _frontier_waves_sql(200, per_wave=2, iters=6),
     "stratified_sample": _stratified_sample_sql(200),
     "kg_negative_samples": _kg_negative_samples_sql(200),
+    "kg_edge_split": _kg_edge_split_sql(200),
+    "mention_contexts": _mention_contexts_sql(200),
     "triple_support": _triple_support_sql(200),
     "predicate_stats": _predicate_stats_sql(200),
     "triple_intervals": _triple_intervals_sql(200),

@@ -1348,6 +1348,33 @@ def q_kg_negative_samples(spark, sf_dir):
     return negative_samples(triples)
 
 
+def q_mention_contexts(spark, sf_dir):
+    # entity-disambiguation training rows: every (mention occurrence,
+    # candidate entity) with the ±5-token surface context — tokenize +
+    # posexplode per page with the token array riding along (context is
+    # an array slice, never a positional self-join), morphology and
+    # alias dims broadcast: ZERO shuffles (operators/linking.py).
+    from .operators.linking import mention_contexts
+
+    pages = _pages_for(spark, sf_dir)
+    return mention_contexts(pages, alias_dict_df(spark), morphology_df(spark))
+
+
+def q_kg_edge_split(spark, sf_dir):
+    # leak-free link-prediction split over the pipeline's distinct
+    # triples (operators/sampling.edge_split): provisional md5-bucket
+    # 80/10/10, then one-pass transductive anchor repair (any val/test
+    # triple with an entity or predicate unseen in provisional train
+    # flips to train). The oracle replays the bucket arithmetic and the
+    # repair rule over the same triple SQL bit-exactly.
+    pages = _pages_for(spark, sf_dir)
+    phrases = extract_phrases(pages, num_partitions=8)
+    triples = emit_triples(phrases, morphology_df(spark))
+    from .operators.sampling import edge_split
+
+    return edge_split(triples)
+
+
 def q_predicate_stats(spark, sf_dir):
     # KG schema induction: per-predicate cardinalities + PARIS-style
     # functionality in integer fixed-point. Every statistic rolls up
@@ -1652,4 +1679,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_fraction": q_dup_span_fraction,
     "alias_ambiguity": q_alias_ambiguity,
     "pack_chunks": q_pack_chunks,
+    "kg_edge_split": q_kg_edge_split,
+    "mention_contexts": q_mention_contexts,
 }

@@ -15,7 +15,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from ner_app_spark.operators import fetchlog, webgraph
-from ner_app_spark.operators.sampling import negative_samples
+from ner_app_spark.operators.sampling import edge_split, negative_samples
 from ner_app_spark.sources.pages import synth_pages_df
 
 T0 = dt.datetime(2025, 1, 1)
@@ -121,6 +121,70 @@ def test_negative_samples_requires_power_of_two_buckets(spark):
 
     with pytest.raises(ValueError):
         negative_samples(_triples(spark), n_buckets=48)
+
+
+def _many_triples(spark, n: int = 300):
+    """A vocabulary-rich synthetic triple set: enough rows that the
+    provisional val/test buckets are populated AND some of them carry
+    entities/predicates unseen in train (exercising the repair path)."""
+    rows = [
+        (f"ent{i % 40}", f"P{i % 7}", f"ent{(i * 13 + 5) % 57}") for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_edge_split_partitions_distinct_positives(spark):
+    base = _many_triples(spark)
+    got = edge_split(base).collect()
+    assert len(got) == base.distinct().count()
+    assert {r["split"] for r in got} == {"train", "val", "test"}
+    for r in got:
+        assert 0 <= r["bucket"] < 100
+        # repair only ever moves rows INTO train
+        if r["split"] == "val":
+            assert 80 <= r["bucket"] < 90
+        if r["split"] == "test":
+            assert r["bucket"] >= 90
+
+
+def test_edge_split_is_leak_free(spark):
+    rows = edge_split(_many_triples(spark)).collect()
+    train_ents = {r["subj"] for r in rows if r["split"] == "train"} | {
+        r["obj"] for r in rows if r["split"] == "train"
+    }
+    train_preds = {r["pred"] for r in rows if r["split"] == "train"}
+    for r in rows:
+        if r["split"] != "train":
+            assert r["subj"] in train_ents and r["obj"] in train_ents
+            assert r["pred"] in train_preds
+
+
+def _bucket(subj: str, pred: str, obj: str) -> int:
+    import struct
+
+    key = f"{subj}\x1f{pred}\x1f{obj}".encode()
+    return struct.unpack("<I", hashlib.md5(key).digest()[:4])[0] % 100
+
+
+def test_edge_split_repair_is_real_and_stable(spark):
+    """A triple whose entities appear NOWHERE else and whose provisional
+    bucket is val/test MUST flip to train (the repair path runs), and
+    the assignment is a pure function of the triple — identical under
+    repartitioning."""
+    lone = next(
+        (f"lone{i}", "Pq", f"only{i}")
+        for i in range(1000)
+        if _bucket(f"lone{i}", "Pq", f"only{i}") >= 80
+    )
+    base = _many_triples(spark).union(
+        spark.createDataFrame([lone], "subj string, pred string, obj string")
+    )
+    rows = edge_split(base).collect()
+    got = {(r["subj"], r["pred"], r["obj"]): r for r in rows}
+    r = got[lone]
+    assert r["bucket"] >= 80 and r["split"] == "train", "repair must flip it"
+    again = sorted(map(tuple, edge_split(base.repartition(7)).collect()))
+    assert sorted(map(tuple, rows)) == again
 
 
 def test_frontier_waves_politeness_bound(spark):

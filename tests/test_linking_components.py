@@ -138,3 +138,59 @@ def test_canonicalize_merges_colliding_aliases(spark):
     assert len(merged) == 1
     assert canon[("mention", "c")] == canon[("entity", "9")]
     assert canon[("mention", "c")] != canon[("mention", "a")]
+
+
+def _ctx_fixture(spark):
+    pages = spark.createDataFrame(
+        [
+            ("u1", "ru", "aa bb cat dd ee ff gg"),
+            ("u2", "ru", "xx . cat"),
+            ("u3", "en", "cat cat cat"),  # non-ru: filtered out
+        ],
+        "url string, lang string, text string",
+    )
+    morph = spark.createDataFrame(
+        [("cat", "cat", "NOUN"), ("cats", "cat", "NOUN")],
+        "surface string, lemma string, pos string",
+    )
+    aliases = spark.createDataFrame(
+        [("cat", 1, "CAT"), ("cat", 1001, "CAT_ALT")],
+        "alias string, entity_id long, canonical_name string",
+    )
+    return pages, morph, aliases
+
+
+def test_mention_contexts_windows_and_fanout(spark):
+    from ner_app_spark.operators.linking import mention_contexts
+
+    pages, morph, aliases = _ctx_fixture(spark)
+    rows = mention_contexts(pages, aliases, morph, window=2).collect()
+    # colliding alias: one row per candidate entity, per occurrence
+    u1 = sorted(
+        (r["entity_id"], r["left_ctx"], r["right_ctx"])
+        for r in rows
+        if r["url"] == "u1"
+    )
+    assert u1 == [
+        (1, "aa bb", "dd ee"),
+        (1001, "aa bb", "dd ee"),
+    ]
+    # punctuation is context (the model sees the page) and the window
+    # clamps at the document edge
+    u2 = sorted((r["pos"], r["left_ctx"], r["right_ctx"]) for r in rows if r["url"] == "u2")
+    assert u2 == [(2, "xx .", ""), (2, "xx .", "")]
+    assert not [r for r in rows if r["url"] == "u3"], "non-ru pages never scanned"
+
+
+def test_mention_contexts_plan_is_shuffle_free(spark):
+    from ner_app_spark.operators.linking import mention_contexts
+
+    pages, morph, aliases = _ctx_fixture(spark)
+    plan = (
+        mention_contexts(pages, aliases, morph)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # dims ride BroadcastExchange; the corpus side must never shuffle
+    assert "Exchange hashpartitioning" not in plan
