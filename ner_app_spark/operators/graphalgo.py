@@ -449,3 +449,73 @@ def dup_clusters(docs: DataFrame, min_jaccard: float = 0.3) -> DataFrame:
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    checkpoint_every: int = 2,
+    workdir: str | None = None,
+    n_parts: int = 16,
+    metrics_out: list | None = None,
+) -> DataFrame:
+    """(entity, community, community_size): fixed-iteration synchronous
+    label propagation (Raghavan et al. 2007) — the cheap community
+    detector that sits between PageRank (importance) and connected
+    components (reachability): CC merges everything touching, LPA keeps
+    densely-linked groups apart while still running in O(iters) joins.
+
+    Determinism (the property the classic algorithm lacks): labels
+    initialize to the node id, every round EVERY node simultaneously
+    adopts the label with the highest frequency among its neighbors'
+    current labels, and the random tie-break is replaced with the
+    lexicographically smallest label — so the result is a pure function
+    of the edge set and both engines agree bit-for-bit (the DuckDB
+    oracle unrolls the same ``iters`` rounds). Fixed iteration count by
+    design: convergence detection needs a global aggregation barrier
+    per round, and oscillation (bipartite flip-flop) makes "converged"
+    ill-defined for sync LPA; k=4 reaches label stability on the
+    co-occurrence graphs this registry materializes.
+
+    Scale shape per round: one equi-join (neighbor label lookup, keyed
+    on src), one partial-aggregated groupBy (node, lbl) — head labels
+    pre-combine map-side, so a label spanning 10^9 members costs one
+    row per (task, node) not per edge — and one node-PARTITIONED
+    row_number (never a global window). Lineage truncates through the
+    shared persister: default localCheckpoint, or ``workdir`` for the
+    manifest-backed resumable checkpoint (same contract as pagerank /
+    connected_components).
+
+    Reference scope: the reference materializes the dictionary graph
+    without any community layer (/root/reference/src/services/
+    dictionary_service.py); LPA is part of the web-scale analytics
+    family, like pagerank above.
+    """
+    from pyspark.sql.window import Window
+
+    persist = _persister(workdir, n_parts, metrics_out)
+    bid = persist(_bidir(edges), "lpa_bidir", "src")
+    labels = (
+        bid.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for i in range(iters):
+        msgs = bid.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "lbl")
+        cnt = msgs.groupBy("node", "lbl").agg(F.count("*").alias("c"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            labels = persist(labels, f"lpa_round_{i:02d}", "node")
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("community_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("node").alias("entity"),
+        F.col("lbl").alias("community"),
+        F.col("community_size").cast("long").alias("community_size"),
+    )

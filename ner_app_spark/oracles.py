@@ -1003,6 +1003,37 @@ def _pagerank_sql(iters: int = 6, scale: int = 10**12) -> str:
     )
 
 
+def _lpa_sql(iters: int = 4) -> str:
+    """Unrolled deterministic sync label propagation — replays
+    graphalgo.label_propagation round by round: per-node neighbor-label
+    counts, then the (count DESC, label ASC) row_number pick. Integer
+    counts + lexicographic tie-break make every round a pure function
+    of the edge set, so the final labels hash-match by construction."""
+    ctes = [
+        f"WITH {_COOC_CTES},",
+        "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM bidir),",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"m{i} AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS c\n"
+            f"  FROM bidir e JOIN l{i - 1} l ON l.node = e.src\n"
+            "  GROUP BY e.dst, l.lbl),"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT node, lbl FROM (\n"
+            "  SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node\n"
+            f"    ORDER BY c DESC, lbl ASC) AS rn FROM m{i}) t WHERE rn = 1),"
+        )
+    body = "\n".join(ctes).rstrip(",") + "\n"
+    return (
+        body
+        + f"SELECT l.node AS entity, l.lbl AS community,\n"
+        f"       CAST(s.cs AS BIGINT) AS community_size\n"
+        f"FROM l{iters} l JOIN (SELECT lbl, COUNT(*) AS cs FROM l{iters}\n"
+        f"                      GROUP BY lbl) s USING (lbl)"
+    )
+
+
 def _host_edge_ctes(n_pages: int) -> str:
     """Host-level link-graph CTEs replaying operators/webgraph.host_edges:
     the synth pages' (url, html) inlined as VALUES, anchor hrefs pulled
@@ -2328,6 +2359,7 @@ FROM injected
     "kg_negative_samples": _kg_negative_samples_sql(200),
     "kg_edge_split": _kg_edge_split_sql(200),
     "mention_contexts": _mention_contexts_sql(200),
+    "lpa_communities": _lpa_sql(iters=4),
     "triple_support": _triple_support_sql(200),
     "predicate_stats": _predicate_stats_sql(200),
     "triple_intervals": _triple_intervals_sql(200),

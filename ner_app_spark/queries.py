@@ -1188,6 +1188,17 @@ def q_entity_pagerank(spark, sf_dir):
     )
 
 
+def q_lpa_communities(spark, sf_dir):
+    # deterministic sync label propagation (4 rounds, min-label
+    # tie-break) over the token co-occurrence graph — the community
+    # layer between PageRank and connected components; the oracle
+    # unrolls the same rounds (integer counts + lexicographic pick, so
+    # the labels are a pure function of the edge set in both engines)
+    return graphalgo.label_propagation(
+        graphalgo.cooccurrence_edges(_t(spark, sf_dir, "documents")), iters=4
+    )
+
+
 def q_triangle_count(spark, sf_dir):
     # degree-oriented triangle counting (skew-safe wedge join)
     return graphalgo.triangle_counts(
@@ -1681,4 +1692,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_chunks": q_pack_chunks,
     "kg_edge_split": q_kg_edge_split,
     "mention_contexts": q_mention_contexts,
+    "lpa_communities": q_lpa_communities,
 }

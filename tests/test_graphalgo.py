@@ -229,3 +229,47 @@ def test_pagerank_derived_scale_preserves_mass(spark):
     rows = graphalgo.pagerank(_edges(spark, cyc), iters=3, scale=10**15).collect()
     total = sum(r["rank_scaled"] for r in rows)
     assert 10**15 * 0.999 < total <= 10**15
+
+
+def test_label_propagation_separates_cliques_cc_merges(spark):
+    """Two 4-cliques joined by ONE bridge edge: connected components
+    collapses them into one blob; LPA keeps two communities — the
+    structural reason the registry carries both."""
+    k1 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]]
+    k2 = [(a, b) for i, a in enumerate("wxyz") for b in "wxyz"[i + 1:]]
+    edges = _edges(spark, k1 + k2 + [("d", "w")])
+    got = {r["entity"]: r for r in graphalgo.label_propagation(edges, iters=4).collect()}
+    assert len(got) == 8
+    left = {got[n]["community"] for n in "abcd"}
+    right = {got[n]["community"] for n in "wxyz"}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    assert got["a"]["community_size"] == 4
+    assert got["w"]["community_size"] == 4
+
+
+def test_label_propagation_deterministic_under_repartition(spark):
+    edges = _edges(spark, BOWTIE)
+    a = sorted(map(tuple, graphalgo.label_propagation(edges, iters=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            graphalgo.label_propagation(edges.repartition(7), iters=3).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_label_propagation_workdir_checkpoint(tmp_path, spark):
+    edges = _edges(spark, BOWTIE)
+    plain = sorted(map(tuple, graphalgo.label_propagation(edges, iters=4).collect()))
+    metrics: list = []
+    ck = sorted(
+        map(
+            tuple,
+            graphalgo.label_propagation(
+                edges, iters=4, workdir=str(tmp_path), metrics_out=metrics
+            ).collect(),
+        )
+    )
+    assert plain == ck
+    assert metrics, "workdir mode must route rounds through the manifest"
