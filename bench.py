@@ -318,6 +318,19 @@ def run_bench() -> dict:
         "alias_ambiguity": QUERIES["alias_ambiguity"],
         # concat-and-chunk packing offsets: bucket-sharded cumsum + div
         "pack_chunks": QUERIES["pack_chunks"],
+        # leak-free transductive link-prediction split: provisional
+        # md5 bucket + one-pass anchor repair over the train dims
+        "kg_edge_split": QUERIES["kg_edge_split"],
+        # disambiguation training rows: ±5-token contexts, zero-shuffle
+        # (tokenize + posexplode + broadcast dims + array slices)
+        "mention_contexts": QUERIES["mention_contexts"],
+        # deterministic sync LPA (4 rounds) over the co-occurrence graph
+        "lpa_communities": lambda s, _: graphalgo.label_propagation(
+            graphalgo.cooccurrence_edges(
+                s.read.parquet(f"{SF_DIR}/documents.parquet")
+            ),
+            iters=4,
+        ),
     }
     extras: dict[str, float] = {}
     for name, fn in extras_fns.items():
