@@ -324,6 +324,9 @@ def run_bench() -> dict:
         # disambiguation training rows: ±5-token contexts, zero-shuffle
         # (tokenize + posexplode + broadcast dims + array slices)
         "mention_contexts": QUERIES["mention_contexts"],
+        # KG constraint audit: induced-functional predicates' violating
+        # (pred, subj) groups over the distinct-pair table
+        "functional_violations": QUERIES["functional_violations"],
         # deterministic sync LPA (4 rounds) over the co-occurrence graph
         "lpa_communities": lambda s, _: graphalgo.label_propagation(
             graphalgo.cooccurrence_edges(

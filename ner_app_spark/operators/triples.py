@@ -290,3 +290,51 @@ def triple_intervals(
         span,
         F.col("n_obs").cast("long").alias("n_obs"),
     )
+
+def functional_violations(
+    triples: DataFrame, min_functionality_micros: int = 500_000
+) -> DataFrame:
+    """(pred, subj, n_objs, first_obj, last_obj, functionality_micros):
+    KG quality audit — assertions that VIOLATE an induced functional
+    predicate. A predicate whose PARIS functionality (predicate_stats
+    above) clears ``min_functionality_micros`` mostly maps each subject
+    to one object; the subjects where it maps to several are exactly
+    where extraction noise, alias collisions, or genuine ambiguity live,
+    so canonicalization reviews these rows before trusting the predicate
+    as a merge key. Emitted per violating (pred, subj) group with the
+    distinct-object count and the lexicographic first/last objects (a
+    bounded witness pair — never an unbounded collect_list).
+
+    Shapes, at 10^12-triple scale: the functionality filter runs on the
+    per-predicate rollup (a handful of rows — broadcast), and the
+    violation scan is ONE distinct keyed by the high-cardinality
+    (pred, subj, obj) followed by a (pred, subj) count rollup — the same
+    two-phase device predicate_stats uses, so the tiny skewed predicate
+    domain never keys a shuffle alone. Exact integer fixed-point
+    end-to-end: the DuckDB oracle replays every value bit-identically.
+
+    Reference scope: the reference has no cross-document triple corpus
+    (per-request phrase extraction only, /root/reference/src/analysis/
+    phrase_extractor.py); constraint auditing is part of the web-scale
+    KG-quality layer, like predicate_stats above.
+    """
+    ps = predicate_stats(triples).filter(
+        F.col("functionality_micros") >= min_functionality_micros
+    )
+    pairs = triples.select("pred", "subj", "obj").distinct()
+    cand = pairs.join(
+        F.broadcast(ps.select("pred", "functionality_micros")), "pred"
+    )
+    grp = cand.groupBy("pred", "subj", "functionality_micros").agg(
+        F.count("*").alias("n_objs"),
+        F.min("obj").alias("first_obj"),
+        F.max("obj").alias("last_obj"),
+    )
+    return grp.filter(F.col("n_objs") >= 2).select(
+        "pred",
+        "subj",
+        F.col("n_objs").cast("long").alias("n_objs"),
+        "first_obj",
+        "last_obj",
+        F.col("functionality_micros").cast("long").alias("functionality_micros"),
+    )

@@ -1003,6 +1003,35 @@ def _pagerank_sql(iters: int = 6, scale: int = 10**12) -> str:
     )
 
 
+def _functional_violations_sql(
+    n_pages: int, min_functionality_micros: int = 500_000
+) -> str:
+    """triples.functional_violations replayed: distinct (pred, subj,
+    obj) pairs, per-pred PARIS functionality in integer fixed-point
+    (`//` == Spark `div` on nonnegative ints), threshold gate, then
+    the violating (pred, subj) groups with distinct-object count and
+    lexicographic first/last witnesses."""
+    return f"""
+WITH trip AS ({_kg_triples_sql(n_pages)}),
+pairs AS (SELECT DISTINCT pred, subj, obj FROM trip),
+base AS (SELECT pred, COUNT(*) AS n_triples FROM pairs GROUP BY pred),
+ns AS (SELECT pred, COUNT(*) AS n_subj
+       FROM (SELECT DISTINCT pred, subj FROM pairs) t GROUP BY pred),
+ps AS (SELECT b.pred,
+              (1000000 * ns.n_subj) // b.n_triples AS functionality_micros
+       FROM base b JOIN ns USING (pred)
+       WHERE (1000000 * ns.n_subj) // b.n_triples
+             >= {min_functionality_micros}),
+grp AS (SELECT p.pred, p.subj, ps.functionality_micros,
+               COUNT(*) AS n_objs,
+               MIN(p.obj) AS first_obj, MAX(p.obj) AS last_obj
+        FROM pairs p JOIN ps USING (pred)
+        GROUP BY p.pred, p.subj, ps.functionality_micros)
+SELECT pred, subj, CAST(n_objs AS BIGINT) AS n_objs, first_obj, last_obj,
+       CAST(functionality_micros AS BIGINT) AS functionality_micros
+FROM grp WHERE n_objs >= 2"""
+
+
 def _lpa_sql(iters: int = 4) -> str:
     """Unrolled deterministic sync label propagation — replays
     graphalgo.label_propagation round by round: per-node neighbor-label
@@ -2360,6 +2389,7 @@ FROM injected
     "kg_edge_split": _kg_edge_split_sql(200),
     "mention_contexts": _mention_contexts_sql(200),
     "lpa_communities": _lpa_sql(iters=4),
+    "functional_violations": _functional_violations_sql(200),
     "triple_support": _triple_support_sql(200),
     "predicate_stats": _predicate_stats_sql(200),
     "triple_intervals": _triple_intervals_sql(200),

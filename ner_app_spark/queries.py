@@ -1371,6 +1371,18 @@ def q_mention_contexts(spark, sf_dir):
     return mention_contexts(pages, alias_dict_df(spark), morphology_df(spark))
 
 
+def q_functional_violations(spark, sf_dir):
+    # KG constraint audit: subjects where an induced functional
+    # predicate (PARIS functionality >= 0.5, integer fixed-point) maps
+    # to several objects — the rows canonicalization reviews before
+    # trusting the predicate as a merge key (operators/triples.py).
+    from .operators.triples import functional_violations
+
+    pages = _pages_for(spark, sf_dir)
+    phrases = extract_phrases(pages, num_partitions=8)
+    return functional_violations(emit_triples(phrases, morphology_df(spark)))
+
+
 def q_kg_edge_split(spark, sf_dir):
     # leak-free link-prediction split over the pipeline's distinct
     # triples (operators/sampling.edge_split): provisional md5-bucket
@@ -1693,4 +1705,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_edge_split": q_kg_edge_split,
     "mention_contexts": q_mention_contexts,
     "lpa_communities": q_lpa_communities,
+    "functional_violations": q_functional_violations,
 }

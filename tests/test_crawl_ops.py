@@ -251,3 +251,27 @@ def test_triple_support_counts(spark):
         for r in triple_support(trips).collect()
     }
     assert got == {("x", "p", "y"): (3, 2), ("z", "q", "w"): (1, 1)}
+
+
+def test_functional_violations_flags_only_functional_preds(spark):
+    from ner_app_spark.operators.triples import functional_violations
+
+    rows = (
+        # "capital": functional (4 subjects, 1 object each) except one
+        # subject asserting two capitals -> the violation to flag
+        [("s1", "capital", "x"), ("s2", "capital", "y"),
+         ("s3", "capital", "z"), ("s4", "capital", "w"),
+         ("s4", "capital", "w2"),
+         ("s4", "capital", "w2")]  # duplicate assertion collapses
+        # "mentions": hub predicate (1 subject fanning to 4 objects,
+        # functionality 1/4) -> below threshold, never audited
+        + [("h", "mentions", o) for o in ("a", "b", "c", "d")]
+    )
+    tr = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = functional_violations(tr, min_functionality_micros=500_000).collect()
+    assert len(got) == 1
+    v = got[0]
+    assert (v["pred"], v["subj"], v["n_objs"]) == ("capital", "s4", 2)
+    assert (v["first_obj"], v["last_obj"]) == ("w", "w2")
+    # functionality of "capital": 4 subjects / 5 distinct pairs
+    assert v["functionality_micros"] == (1_000_000 * 4) // 5
