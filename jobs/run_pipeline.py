@@ -59,6 +59,11 @@ def main() -> int:
                     "semi-joined to the page scan. At production scale the "
                     "dim comes from the previous crawl snapshot — here it "
                     "is computed from the same input")
+    ap.add_argument("--edge-split", action="store_true",
+                    help="also emit the leak-free transductive "
+                    "train/val/test link-prediction split over the "
+                    "emitted triples (sampling.edge_split) to "
+                    "<output>/edge_split and report per-split counts")
     args = ap.parse_args()
 
     from ner_app_spark.plans.pipeline import (
@@ -122,6 +127,18 @@ def main() -> int:
     counters = pipeline_counters(out)
     if args.output:
         write_outputs(out, args.output)
+    split_counts = None
+    if args.edge_split:
+        from ner_app_spark.operators.sampling import edge_split
+
+        split = edge_split(out.triples.select("subj", "pred", "obj"))
+        if args.output:
+            split.write.mode("overwrite").parquet(f"{args.output}/edge_split")
+            split = spark.read.parquet(f"{args.output}/edge_split")
+        split_counts = {
+            r["split"]: r["count"]
+            for r in split.groupBy("split").count().collect()
+        }
     snapshots = None
     if args.publish:
         from ner_app_spark.tables.icelite import publish_pipeline_tables
@@ -135,6 +152,7 @@ def main() -> int:
         "wall_sec": wall,
         **({"snapshots": snapshots} if snapshots else {}),
         **({"host_gate": host_gate} if host_gate else {}),
+        **({"edge_split": split_counts} if split_counts else {}),
         "docs_per_sec": round(counters["documents"] / wall, 2),
         "triples_per_sec": round(counters["triples"] / wall, 2),
         **counters,

@@ -507,3 +507,32 @@ def test_run_pipeline_dedup_fetch_log(pyfiles_zip, tmp_path, spark):
     assert got["documents"] == N_PAGES
     assert got["phrases"] == N_PHRASES
     assert got["triples"] == N_TRIPLES
+
+
+def test_run_pipeline_edge_split_flag(pyfiles_zip, tmp_path, spark):
+    """--edge-split emits the leak-free link-prediction split next to the
+    graph tables and reports per-split counts that sum to the DISTINCT
+    triple count (edge_split assigns each distinct positive once)."""
+    outdir = str(tmp_path / "kg_out")
+    got = _submit(
+        pyfiles_zip, "run_pipeline.py",
+        "--pages", str(N_PAGES), "--parts", "8", "--output", outdir,
+        "--edge-split",
+    )
+    assert got["triples"] == N_TRIPLES
+    counts = got["edge_split"]
+    assert counts["train"] > 0
+    split = spark.read.parquet(os.path.join(outdir, "edge_split"))
+    n_distinct = (
+        spark.read.parquet(os.path.join(outdir, "triples"))
+        .select("subj", "pred", "obj").distinct().count()
+    )
+    assert sum(counts.values()) == split.count() == n_distinct
+    # leak-free invariant holds on the materialized table
+    rows = split.collect()
+    train_ents = {r["subj"] for r in rows if r["split"] == "train"} | {
+        r["obj"] for r in rows if r["split"] == "train"
+    }
+    for r in rows:
+        if r["split"] != "train":
+            assert r["subj"] in train_ents and r["obj"] in train_ents
