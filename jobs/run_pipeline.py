@@ -59,6 +59,11 @@ def main() -> int:
                     "semi-joined to the page scan. At production scale the "
                     "dim comes from the previous crawl snapshot — here it "
                     "is computed from the same input")
+    ap.add_argument("--contexts", action="store_true",
+                    help="also emit the disambiguation-training context "
+                    "table (linking.mention_contexts: one row per mention "
+                    "occurrence x candidate entity with ±5-token surface "
+                    "context; zero-shuffle scan) to <output>/contexts")
     ap.add_argument("--edge-split", action="store_true",
                     help="also emit the leak-free transductive "
                     "train/val/test link-prediction split over the "
@@ -127,6 +132,21 @@ def main() -> int:
     counters = pipeline_counters(out)
     if args.output:
         write_outputs(out, args.output)
+    n_contexts = None
+    if args.contexts:
+        from ner_app_spark.operators.linking import mention_contexts
+        from ner_app_spark.sources.pages import alias_dict_df, morphology_df
+
+        aliases = alias_dict_df(spark)
+        if args.web_aliases:
+            from ner_app_spark.operators.webgraph import anchor_alias_dim
+
+            aliases = aliases.unionByName(anchor_alias_dim(pages))
+        ctx = mention_contexts(pages, aliases, morphology_df(spark))
+        if args.output:
+            ctx.write.mode("overwrite").parquet(f"{args.output}/contexts")
+            ctx = spark.read.parquet(f"{args.output}/contexts")
+        n_contexts = ctx.count()
     split_counts = None
     if args.edge_split:
         from ner_app_spark.operators.sampling import edge_split
@@ -153,6 +173,7 @@ def main() -> int:
         **({"snapshots": snapshots} if snapshots else {}),
         **({"host_gate": host_gate} if host_gate else {}),
         **({"edge_split": split_counts} if split_counts else {}),
+        **({"contexts": n_contexts} if n_contexts is not None else {}),
         "docs_per_sec": round(counters["documents"] / wall, 2),
         "triples_per_sec": round(counters["triples"] / wall, 2),
         **counters,

@@ -536,3 +536,25 @@ def test_run_pipeline_edge_split_flag(pyfiles_zip, tmp_path, spark):
     for r in rows:
         if r["split"] != "train":
             assert r["subj"] in train_ents and r["obj"] in train_ents
+
+
+def test_run_pipeline_contexts_flag(pyfiles_zip, tmp_path, spark):
+    """--contexts materializes the disambiguation context table; every
+    row's lemma must be a dictionary alias and the context strings are
+    bounded by the ±5-token window."""
+    outdir = str(tmp_path / "kg_out")
+    got = _submit(
+        pyfiles_zip, "run_pipeline.py",
+        "--pages", str(N_PAGES), "--parts", "8", "--output", outdir,
+        "--contexts",
+    )
+    assert got["contexts"] > 0
+    ctx = spark.read.parquet(os.path.join(outdir, "contexts"))
+    assert ctx.count() == got["contexts"]
+    from ner_app_spark.synth import synth_alias_dict
+
+    aliases = {r["alias"] for r in synth_alias_dict()}
+    for r in ctx.limit(200).collect():
+        assert r["lemma"] in aliases
+        assert len(r["left_ctx"].split(" ")) <= 5 or r["left_ctx"] == ""
+        assert len(r["right_ctx"].split(" ")) <= 5 or r["right_ctx"] == ""
