@@ -324,6 +324,8 @@ def run_bench() -> dict:
         # disambiguation training rows: ±5-token contexts, zero-shuffle
         # (tokenize + posexplode + broadcast dims + array slices)
         "mention_contexts": QUERIES["mention_contexts"],
+        # int64 id mint + encoded edge list (bucket-sharded row_number)
+        "kg_encoded_triples": QUERIES["kg_encoded_triples"],
         # KG constraint audit: induced-functional predicates' violating
         # (pred, subj) groups over the distinct-pair table
         "functional_violations": QUERIES["functional_violations"],

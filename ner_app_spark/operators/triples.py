@@ -338,3 +338,80 @@ def functional_violations(
         "last_obj",
         F.col("functionality_micros").cast("long").alias("functionality_micros"),
     )
+
+#: id-minting shard count: ids pack as bucket << 40 | rank, so capacity
+#: is 2^40 ids per bucket x 1024 buckets = 2^50 « int64; row_number
+#: stays bucket-PARTITIONED (never a global window).
+ID_BUCKETS = 1024
+
+
+def mint_ids(
+    values: DataFrame, col: str = "entity", n_buckets: int = ID_BUCKETS
+) -> DataFrame:
+    """(value_col, id): deterministic int64 surrogate ids for a string
+    key domain WITHOUT a global index — the prerequisite graphalgo.py's
+    header names for 10^12-edge analytics (string shuffle keys cost ~3x;
+    mint ids first, shuffle on longs).
+
+    The classic dense-id mint (row_number over the whole dimension) is
+    a partition-less window — the single-reducer sort banned from every
+    plan in this repo. Sharded mint instead (the pack_chunks device):
+    md5-u32 of the value mod ``n_buckets`` picks an independent
+    sub-stream, ranks are bucket-PARTITIONED row_numbers ordered by the
+    value, and the id packs exactly as ``bucket << 40 | (rank-1)`` —
+    collision-free by construction (buckets disjoint, ranks unique
+    within a bucket), int64-safe to 2^40 ids per bucket, and a pure
+    function of the value SET (reproducible across runs and
+    partitionings). Ids are dense within buckets, not globally — the
+    consumers (joins, array indexing per shard) only need uniqueness
+    and compactness, not contiguity.
+
+    Corpus growth: a NEW value can shift ranks after it within its
+    bucket, so production mints once per snapshot and persists the dim
+    (tables/icelite.py), minting later snapshots' novel values by
+    continuing each bucket's max rank — same discipline as any
+    surrogate-key dimension. The DuckDB oracle replays bucket + rank
+    bit-identically.
+    """
+    from pyspark.sql import Window
+
+    from .sampling import _md5_u32_le
+
+    vals = values.select(F.col(col)).distinct()
+    b = vals.withColumn(
+        "bucket", (_md5_u32_le(F.col(col)) % n_buckets).cast("long")
+    )
+    w = Window.partitionBy("bucket").orderBy(col)
+    return b.select(
+        col,
+        (
+            F.col("bucket") * F.lit(1 << 40)
+            + (F.row_number().over(w) - 1)
+        ).cast("long").alias("id"),
+    )
+
+
+def encode_triples(triples: DataFrame, n_buckets: int = ID_BUCKETS) -> DataFrame:
+    """(subj_id, pred_id, obj_id): the KG edge list re-keyed onto minted
+    int64 ids — the shape a KG-embedding trainer or graph engine
+    consumes. Entity ids come from ONE shared mint over subj ∪ obj (so
+    a string names the same id in either role); predicates mint
+    separately (their domain is config-sized — most buckets empty, the
+    window still partitioned). Two shuffled equi-joins on the entity
+    dim (co-partitioned probe keys) + one broadcast for the predicate
+    dim."""
+    ents = mint_ids(
+        triples.select(F.col("subj").alias("entity")).union(
+            triples.select(F.col("obj").alias("entity"))
+        ),
+        "entity",
+        n_buckets,
+    )
+    preds = mint_ids(triples.select(F.col("pred").alias("p")), "p", n_buckets)
+    return (
+        triples.select("subj", "pred", "obj")
+        .join(ents.select(F.col("entity").alias("subj"), F.col("id").alias("subj_id")), "subj")
+        .join(ents.select(F.col("entity").alias("obj"), F.col("id").alias("obj_id")), "obj")
+        .join(F.broadcast(preds.select(F.col("p").alias("pred"), F.col("id").alias("pred_id"))), "pred")
+        .select("subj_id", "pred_id", "obj_id")
+    )

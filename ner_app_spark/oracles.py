@@ -1032,6 +1032,41 @@ SELECT pred, subj, CAST(n_objs AS BIGINT) AS n_objs, first_obj, last_obj,
 FROM grp WHERE n_objs >= 2"""
 
 
+def _mint_ctes(n_pages: int, n_buckets: int = 1024) -> str:
+    """Shared CTE chain replaying triples.mint_ids over the pipeline
+    triples: UNION-dedup'd entity domain, md5-u32 bucket, bucket-
+    PARTITIONED row_number, id = bucket << 40 | (rank-1)."""
+    emd5 = _md5_u32_le("entity")
+    pmd5 = _md5_u32_le("p")
+    return f"""
+WITH trip AS ({_kg_triples_sql(n_pages)}),
+ents AS (SELECT subj AS entity FROM trip UNION SELECT obj FROM trip),
+eb AS (SELECT entity, ({emd5}) % {n_buckets} AS bucket FROM ents),
+eids AS (SELECT entity,
+                CAST(bucket * {1 << 40} + ROW_NUMBER() OVER (
+                  PARTITION BY bucket ORDER BY entity) - 1 AS BIGINT) AS id
+         FROM eb),
+preds AS (SELECT DISTINCT pred AS p FROM trip),
+pb AS (SELECT p, ({pmd5}) % {n_buckets} AS bucket FROM preds),
+pids AS (SELECT p,
+                CAST(bucket * {1 << 40} + ROW_NUMBER() OVER (
+                  PARTITION BY bucket ORDER BY p) - 1 AS BIGINT) AS id
+         FROM pb)"""
+
+
+def _kg_entity_ids_sql(n_pages: int) -> str:
+    return _mint_ctes(n_pages) + "\nSELECT entity, id FROM eids"
+
+
+def _kg_encoded_triples_sql(n_pages: int) -> str:
+    return _mint_ctes(n_pages) + """
+SELECT s.id AS subj_id, pp.id AS pred_id, o.id AS obj_id
+FROM trip t
+JOIN eids s ON s.entity = t.subj
+JOIN eids o ON o.entity = t.obj
+JOIN pids pp ON pp.p = t.pred"""
+
+
 def _lpa_sql(iters: int = 4) -> str:
     """Unrolled deterministic sync label propagation — replays
     graphalgo.label_propagation round by round: per-node neighbor-label
@@ -2390,6 +2425,8 @@ FROM injected
     "mention_contexts": _mention_contexts_sql(200),
     "lpa_communities": _lpa_sql(iters=4),
     "functional_violations": _functional_violations_sql(200),
+    "kg_entity_ids": _kg_entity_ids_sql(200),
+    "kg_encoded_triples": _kg_encoded_triples_sql(200),
     "triple_support": _triple_support_sql(200),
     "predicate_stats": _predicate_stats_sql(200),
     "triple_intervals": _triple_intervals_sql(200),

@@ -1371,6 +1371,33 @@ def q_mention_contexts(spark, sf_dir):
     return mention_contexts(pages, alias_dict_df(spark), morphology_df(spark))
 
 
+def q_kg_entity_ids(spark, sf_dir):
+    # deterministic int64 surrogate ids for the triple entity domain —
+    # bucket-sharded mint (md5 bucket + bucket-partitioned row_number,
+    # id = bucket << 40 | rank), never a global window; the precondition
+    # for shuffling 10^12-edge analytics on longs instead of strings.
+    from .operators.triples import mint_ids
+
+    pages = _pages_for(spark, sf_dir)
+    phrases = extract_phrases(pages, num_partitions=8)
+    triples = emit_triples(phrases, morphology_df(spark))
+    ents = triples.select(F.col("subj").alias("entity")).union(
+        triples.select(F.col("obj").alias("entity"))
+    )
+    return mint_ids(ents)
+
+
+def q_kg_encoded_triples(spark, sf_dir):
+    # the KG edge list re-keyed onto the minted int64 ids — the shape a
+    # KG-embedding trainer consumes; one shared entity mint (subj ∪ obj)
+    # + broadcast predicate dim.
+    from .operators.triples import encode_triples
+
+    pages = _pages_for(spark, sf_dir)
+    phrases = extract_phrases(pages, num_partitions=8)
+    return encode_triples(emit_triples(phrases, morphology_df(spark)))
+
+
 def q_functional_violations(spark, sf_dir):
     # KG constraint audit: subjects where an induced functional
     # predicate (PARIS functionality >= 0.5, integer fixed-point) maps
@@ -1706,4 +1733,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mention_contexts": q_mention_contexts,
     "lpa_communities": q_lpa_communities,
     "functional_violations": q_functional_violations,
+    "kg_entity_ids": q_kg_entity_ids,
+    "kg_encoded_triples": q_kg_encoded_triples,
 }

@@ -275,3 +275,52 @@ def test_functional_violations_flags_only_functional_preds(spark):
     assert (v["first_obj"], v["last_obj"]) == ("w", "w2")
     # functionality of "capital": 4 subjects / 5 distinct pairs
     assert v["functionality_micros"] == (1_000_000 * 4) // 5
+
+
+def test_mint_ids_unique_packed_and_stable(spark):
+    import struct
+
+    from ner_app_spark.operators.triples import mint_ids
+
+    vals = spark.createDataFrame(
+        [(f"ent{i}",) for i in range(200)] + [("ent0",)], "entity string"
+    )
+    rows = mint_ids(vals).collect()
+    assert len(rows) == 200, "mint dedups its input domain"
+    ids = [r["id"] for r in rows]
+    assert len(set(ids)) == 200, "ids are collision-free"
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        b, rank = r["id"] >> 40, r["id"] & ((1 << 40) - 1)
+        expect_b = (
+            struct.unpack("<I", hashlib.md5(r["entity"].encode()).digest()[:4])[0]
+            % 1024
+        )
+        assert b == expect_b, "high bits are the md5 bucket"
+        by_bucket.setdefault(b, []).append((rank, r["entity"]))
+    for b, pairs in by_bucket.items():
+        pairs.sort()
+        # ranks are dense 0..n-1 within the bucket, ordered by value
+        assert [p[0] for p in pairs] == list(range(len(pairs)))
+        assert [p[1] for p in pairs] == sorted(p[1] for p in pairs)
+    again = sorted(map(tuple, mint_ids(vals.repartition(7)).collect()))
+    assert sorted(map(tuple, rows)) == again
+
+
+def test_encode_triples_roundtrip(spark):
+    from ner_app_spark.operators.triples import encode_triples, mint_ids
+
+    tr = _many_triples(spark, 120)
+    enc = encode_triples(tr)
+    assert enc.count() == tr.count(), "one encoded row per input triple"
+    ents = mint_ids(
+        tr.select(F.col("subj").alias("entity")).union(
+            tr.select(F.col("obj").alias("entity"))
+        )
+    )
+    id2ent = {r["id"]: r["entity"] for r in ents.collect()}
+    orig = sorted((r["subj"], r["obj"]) for r in tr.collect())
+    dec = sorted(
+        (id2ent[r["subj_id"]], id2ent[r["obj_id"]]) for r in enc.collect()
+    )
+    assert orig == dec, "entity ids decode back to the exact edge list"
