@@ -326,6 +326,8 @@ def run_bench() -> dict:
         "mention_contexts": QUERIES["mention_contexts"],
         # int64 id mint + encoded edge list (bucket-sharded row_number)
         "kg_encoded_triples": QUERIES["kg_encoded_triples"],
+        # snapshot-growth id continuation (two-snapshot mint)
+        "kg_extend_ids": QUERIES["kg_extend_ids"],
         # KG constraint audit: induced-functional predicates' violating
         # (pred, subj) groups over the distinct-pair table
         "functional_violations": QUERIES["functional_violations"],

@@ -415,3 +415,54 @@ def encode_triples(triples: DataFrame, n_buckets: int = ID_BUCKETS) -> DataFrame
         .join(F.broadcast(preds.select(F.col("p").alias("pred"), F.col("id").alias("pred_id"))), "pred")
         .select("subj_id", "pred_id", "obj_id")
     )
+
+def extend_ids(
+    existing: DataFrame, values: DataFrame, col: str = "entity",
+    n_buckets: int = ID_BUCKETS,
+) -> DataFrame:
+    """(value_col, id): the snapshot-growth half of the mint discipline
+    mint_ids documents — keep EVERY existing id verbatim and mint novel
+    values by continuing each bucket's rank sequence. With this, the id
+    dimension persists across crawl snapshots (tables/icelite.py) and a
+    re-extracted entity keeps its id forever, while a fresh mint would
+    shift ranks (pinned by the unit test).
+
+    Plan: novel values = one left_anti join against the dim; each
+    bucket's next rank comes from the EXISTING ids themselves
+    (bucket = id >> 40, offset = max(id & (2^40-1)) + 1 — no re-hash of
+    the existing domain), aggregated to <= ``n_buckets`` rows and
+    broadcast; novel ranks are bucket-PARTITIONED row_numbers on top of
+    the offset. Union back with the untouched dim. Same uniqueness
+    argument as mint_ids: buckets are disjoint and within a bucket the
+    old ids occupy [0, offset) while new ids start at offset.
+    """
+    from pyspark.sql import Window
+
+    from .sampling import _md5_u32_le
+
+    mask = (1 << 40) - 1
+    starts = (
+        existing.select(
+            (F.col("id") / F.lit(1 << 40)).cast("long").alias("bucket"),
+            F.col("id").bitwiseAND(F.lit(mask)).alias("rank"),
+        )
+        .groupBy("bucket")
+        .agg((F.max("rank") + 1).alias("start"))
+    )
+    novel = (
+        values.select(F.col(col))
+        .distinct()
+        .join(existing.select(F.col(col)), col, "left_anti")
+        .withColumn("bucket", (_md5_u32_le(F.col(col)) % n_buckets).cast("long"))
+        .join(F.broadcast(starts), "bucket", "left")
+    )
+    w = Window.partitionBy("bucket").orderBy(col)
+    minted = novel.select(
+        col,
+        (
+            F.col("bucket") * F.lit(1 << 40)
+            + F.coalesce("start", F.lit(0))
+            + (F.row_number().over(w) - 1)
+        ).cast("long").alias("id"),
+    )
+    return existing.select(col, "id").unionByName(minted)

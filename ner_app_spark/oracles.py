@@ -1067,6 +1067,40 @@ JOIN eids o ON o.entity = t.obj
 JOIN pids pp ON pp.p = t.pred"""
 
 
+def _kg_extend_ids_sql(
+    n_pages_old: int, n_pages_new: int, n_buckets: int = 1024
+) -> str:
+    """triples.extend_ids replayed across two crawl snapshots: the
+    snapshot-1 mint (same replay as _kg_entity_ids_sql over the smaller
+    corpus), bucket offsets recovered FROM THE IDS (id // 2^40,
+    max(id % 2^40) + 1), and the novel values' continued ranks."""
+    emd5 = _md5_u32_le("entity")
+    return f"""
+WITH trip1 AS ({_kg_triples_sql(n_pages_old)}),
+trip2 AS ({_kg_triples_sql(n_pages_new)}),
+e1 AS (SELECT subj AS entity FROM trip1 UNION SELECT obj FROM trip1),
+b1 AS (SELECT entity, ({emd5}) % {n_buckets} AS bucket FROM e1),
+eids1 AS (SELECT entity,
+                 CAST(bucket * {1 << 40} + ROW_NUMBER() OVER (
+                   PARTITION BY bucket ORDER BY entity) - 1 AS BIGINT) AS id
+          FROM b1),
+e2 AS (SELECT subj AS entity FROM trip2 UNION SELECT obj FROM trip2),
+novel AS (SELECT entity FROM e2 EXCEPT SELECT entity FROM eids1),
+starts AS (SELECT id // {1 << 40} AS bucket,
+                  MAX(id % {1 << 40}) + 1 AS start
+           FROM eids1 GROUP BY 1),
+nb AS (SELECT entity, ({emd5}) % {n_buckets} AS bucket FROM novel),
+minted AS (SELECT n.entity,
+                  CAST(n.bucket * {1 << 40} + COALESCE(s.start, 0)
+                       + n.rn - 1 AS BIGINT) AS id
+           FROM (SELECT entity, bucket, ROW_NUMBER() OVER (
+                   PARTITION BY bucket ORDER BY entity) AS rn FROM nb) n
+           LEFT JOIN starts s USING (bucket))
+SELECT entity, id FROM eids1
+UNION ALL
+SELECT entity, id FROM minted"""
+
+
 def _lpa_sql(iters: int = 4) -> str:
     """Unrolled deterministic sync label propagation — replays
     graphalgo.label_propagation round by round: per-node neighbor-label
@@ -2427,6 +2461,7 @@ FROM injected
     "functional_violations": _functional_violations_sql(200),
     "kg_entity_ids": _kg_entity_ids_sql(200),
     "kg_encoded_triples": _kg_encoded_triples_sql(200),
+    "kg_extend_ids": _kg_extend_ids_sql(100, 200),
     "triple_support": _triple_support_sql(200),
     "predicate_stats": _predicate_stats_sql(200),
     "triple_intervals": _triple_intervals_sql(200),

@@ -1398,6 +1398,25 @@ def q_kg_encoded_triples(spark, sf_dir):
     return encode_triples(emit_triples(phrases, morphology_df(spark)))
 
 
+def q_kg_extend_ids(spark, sf_dir):
+    # snapshot-growth id continuation: snapshot 1 (the first 100 synth
+    # pages) mints the dim; snapshot 2 (the full 200-page corpus) only
+    # mints NOVEL entities by continuing each bucket's rank — every
+    # snapshot-1 id survives verbatim (operators/triples.extend_ids).
+    from .operators.triples import extend_ids, mint_ids
+
+    def _ents(pages):
+        t = emit_triples(
+            extract_phrases(pages, num_partitions=8), morphology_df(spark)
+        )
+        return t.select(F.col("subj").alias("entity")).union(
+            t.select(F.col("obj").alias("entity"))
+        )
+
+    old = mint_ids(_ents(synth_pages_df(spark, 100)))
+    return extend_ids(old, _ents(_pages_for(spark, sf_dir)))
+
+
 def q_functional_violations(spark, sf_dir):
     # KG constraint audit: subjects where an induced functional
     # predicate (PARIS functionality >= 0.5, integer fixed-point) maps
@@ -1735,4 +1754,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "functional_violations": q_functional_violations,
     "kg_entity_ids": q_kg_entity_ids,
     "kg_encoded_triples": q_kg_encoded_triples,
+    "kg_extend_ids": q_kg_extend_ids,
 }

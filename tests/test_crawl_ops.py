@@ -324,3 +324,34 @@ def test_encode_triples_roundtrip(spark):
         (id2ent[r["subj_id"]], id2ent[r["obj_id"]]) for r in enc.collect()
     )
     assert orig == dec, "entity ids decode back to the exact edge list"
+
+
+def test_extend_ids_preserves_and_continues(spark):
+    from ner_app_spark.operators.triples import extend_ids, mint_ids
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(80)], "entity string")
+    # novel values named to sort BEFORE the existing ones ("A" < "a"):
+    # a fresh mint would push every existing value's in-bucket rank up
+    b = spark.createDataFrame(
+        [(f"a{i}",) for i in range(40, 80)] + [(f"A{i}",) for i in range(60)],
+        "entity string",
+    )
+    dim1 = mint_ids(a, n_buckets=4)
+    dim2 = extend_ids(dim1, b, n_buckets=4)
+    m1 = {r["entity"]: r["id"] for r in dim1.collect()}
+    m2 = {r["entity"]: r["id"] for r in dim2.collect()}
+    # every snapshot-1 id survives verbatim (a fresh mint would shift)
+    for e, i in m1.items():
+        assert m2[e] == i
+    assert len(m2) == len(set(m2.values())) == 140, "no collisions"
+    fresh = {
+        r["entity"]: r["id"] for r in mint_ids(a.union(b), n_buckets=4).collect()
+    }
+    assert fresh != m2, "fresh mint shifts ranks — extend_ids is the point"
+    # novel ids continue each bucket's rank range past the existing max
+    by_bucket: dict[int, int] = {}
+    for i in m1.values():
+        by_bucket[i >> 40] = max(by_bucket.get(i >> 40, -1), i & ((1 << 40) - 1))
+    for e, i in m2.items():
+        if e not in m1:
+            assert (i & ((1 << 40) - 1)) > by_bucket.get(i >> 40, -1)
