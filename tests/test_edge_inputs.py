@@ -246,3 +246,48 @@ def test_edge_inputs_pack_chunks(spark):
         for r in rows:  # offsets tile the sub-stream without gaps
             assert r["start_offset"] == pos
             pos = r["end_offset"]
+
+
+def test_edge_inputs_final_session_ops(spark):
+    """edge_split / mention_contexts / label_propagation /
+    functional_violations / mint_ids / extend_ids / encode_triples on
+    empty typed inputs: empty frames of the right schema, never
+    exceptions."""
+    from ner_app_spark.operators import graphalgo
+    from ner_app_spark.operators.linking import mention_contexts
+    from ner_app_spark.operators.sampling import edge_split
+    from ner_app_spark.operators.triples import (
+        encode_triples,
+        extend_ids,
+        functional_violations,
+        mint_ids,
+    )
+    from ner_app_spark.sources.pages import alias_dict_df, morphology_df
+
+    empty_triples = spark.createDataFrame(
+        [], "subj string, pred string, obj string"
+    )
+    split = edge_split(empty_triples)
+    assert split.count() == 0
+    assert set(split.columns) == {"subj", "pred", "obj", "bucket", "split"}
+    assert functional_violations(empty_triples).count() == 0
+    assert encode_triples(empty_triples).count() == 0
+
+    empty_vals = spark.createDataFrame([], "entity string")
+    dim = mint_ids(empty_vals)
+    assert dim.count() == 0
+    # empty existing dim -> extend degenerates to a fresh mint
+    some = spark.createDataFrame([("x",), ("y",)], "entity string")
+    ext = {r["entity"]: r["id"] for r in extend_ids(dim, some).collect()}
+    fresh = {r["entity"]: r["id"] for r in mint_ids(some).collect()}
+    assert ext == fresh
+
+    empty_pages = synth_pages_df(spark, 0, num_partitions=2)
+    assert mention_contexts(
+        empty_pages, alias_dict_df(spark), morphology_df(spark)
+    ).count() == 0
+
+    empty_edges = spark.createDataFrame([], "src string, dst string")
+    lpa = graphalgo.label_propagation(empty_edges, iters=2)
+    assert lpa.count() == 0
+    assert set(lpa.columns) == {"entity", "community", "community_size"}
