@@ -332,12 +332,7 @@ def run_bench() -> dict:
         # (pred, subj) groups over the distinct-pair table
         "functional_violations": QUERIES["functional_violations"],
         # deterministic sync LPA (4 rounds) over the co-occurrence graph
-        "lpa_communities": lambda s, _: graphalgo.label_propagation(
-            graphalgo.cooccurrence_edges(
-                s.read.parquet(f"{SF_DIR}/documents.parquet")
-            ),
-            iters=4,
-        ),
+        "lpa_communities": QUERIES["lpa_communities"],
     }
     extras: dict[str, float] = {}
     for name, fn in extras_fns.items():

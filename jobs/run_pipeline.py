@@ -62,8 +62,10 @@ def main() -> int:
     ap.add_argument("--contexts", action="store_true",
                     help="also emit the disambiguation-training context "
                     "table (linking.mention_contexts: one row per mention "
-                    "occurrence x candidate entity with ±5-token surface "
-                    "context; zero-shuffle scan) to <output>/contexts")
+                    "occurrence x candidate entity with ±5-token context, "
+                    "mined from the boilerplate-stripped extracted surface "
+                    "with the linking stage's dictionary; zero-shuffle "
+                    "scan) to <output>/contexts")
     ap.add_argument("--edge-split", action="store_true",
                     help="also emit the leak-free transductive "
                     "train/val/test link-prediction split over the "
@@ -135,14 +137,18 @@ def main() -> int:
     n_contexts = None
     if args.contexts:
         from ner_app_spark.operators.linking import mention_contexts
-        from ner_app_spark.sources.pages import alias_dict_df, morphology_df
+        from ner_app_spark.sources.pages import morphology_df
 
-        aliases = alias_dict_df(spark)
-        if args.web_aliases:
-            from ner_app_spark.operators.webgraph import anchor_alias_dim
-
-            aliases = aliases.unionByName(anchor_alias_dim(pages))
-        ctx = mention_contexts(pages, aliases, morphology_df(spark))
+        # mine the boilerplate-stripped surface the extraction/linking
+        # stages saw (never the raw html), with the SAME dictionary the
+        # linking stage probed (out.aliases — includes --web-aliases)
+        ctx = mention_contexts(
+            out.extracted,
+            out.aliases,
+            morphology_df(spark),
+            lang=args.lang,
+            text_col="extracted",
+        )
         if args.output:
             ctx.write.mode("overwrite").parquet(f"{args.output}/contexts")
             ctx = spark.read.parquet(f"{args.output}/contexts")
@@ -172,7 +178,7 @@ def main() -> int:
         "wall_sec": wall,
         **({"snapshots": snapshots} if snapshots else {}),
         **({"host_gate": host_gate} if host_gate else {}),
-        **({"edge_split": split_counts} if split_counts else {}),
+        **({"edge_split": split_counts} if split_counts is not None else {}),
         **({"contexts": n_contexts} if n_contexts is not None else {}),
         "docs_per_sec": round(counters["documents"] / wall, 2),
         "triples_per_sec": round(counters["triples"] / wall, 2),

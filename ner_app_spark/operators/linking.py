@@ -394,6 +394,8 @@ def mention_contexts(
     aliases: DataFrame,
     morph: DataFrame,
     window: int = 5,
+    lang: str = "ru",
+    text_col: str = "text",
 ) -> DataFrame:
     """(url, pos, mention, lemma, entity_id, canonical_name, left_ctx,
     right_ctx): the entity-disambiguation training shape — one row per
@@ -414,16 +416,23 @@ def mention_contexts(
     size, and the context window never crosses a row boundary so there
     is no range-join anywhere.
 
+    ``text_col``/``lang`` select the surface: the pipeline job mines the
+    boilerplate-stripped ``extracted`` frame (text_col="extracted") with
+    the job's --lang, so contexts cover exactly the text the extraction
+    and linking stages saw — never the raw html authored text.
+
     Reference scope: the reference links mentions without context
     (exact dictionary probe, /root/reference/src/services/
     dictionary_service.py:186-217); context harvesting is the
     web-scale disambiguation-training layer on top, like
     alias_ambiguity above.
     """
-    ru = pages.filter((F.col("lang") == "ru") & (F.length("text") > 0))
+    ru = pages.filter((F.col("lang") == lang) & (F.length(text_col) > 0))
     arrs = ru.select(
         "url",
-        F.expr(f"regexp_extract_all(text, '{MENTION_TOKEN_RE}', 0)").alias("arr"),
+        F.expr(
+            f"regexp_extract_all({text_col}, '{MENTION_TOKEN_RE}', 0)"
+        ).alias("arr"),
     )
     toks = arrs.select(
         "url", "arr", F.posexplode("arr").alias("p", "tok")

@@ -161,7 +161,9 @@ def triple_support(triples: DataFrame, n_salts: int = 16) -> DataFrame:
     )
 
 
-def predicate_stats(triples: DataFrame) -> DataFrame:
+def predicate_stats(
+    triples: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
     """(pred, n_triples, n_obs, n_subj, n_obj, functionality_micros,
     inv_functionality_micros): per-predicate schema statistics over the
     emitted triple table — the KG schema-induction signal that decides
@@ -189,10 +191,15 @@ def predicate_stats(triples: DataFrame) -> DataFrame:
     POS pattern (/root/reference/src/analysis/phrase_extractor.py) and
     has no cross-document corpus; predicate-level schema statistics are
     part of the web-scale KG layer, like triple_support above.
+
+    ``pairs`` lets a caller that already built the (pred, subj, obj)
+    pre-aggregation share it (functional_violations below) so the wide
+    corpus shuffle plans once.
     """
-    pairs = triples.groupBy("pred", "subj", "obj").agg(
-        F.count("*").alias("n_obs")
-    )
+    if pairs is None:
+        pairs = triples.groupBy("pred", "subj", "obj").agg(
+            F.count("*").alias("n_obs")
+        )
     base = pairs.groupBy("pred").agg(
         F.count("*").alias("n_triples"),
         F.sum("n_obs").alias("n_obs"),
@@ -318,11 +325,18 @@ def functional_violations(
     phrase_extractor.py); constraint auditing is part of the web-scale
     KG-quality layer, like predicate_stats above.
     """
-    ps = predicate_stats(triples).filter(
+    # ONE distinct-pair frame feeds both the stats rollup and the
+    # violation scan, materialized once (localCheckpoint): column
+    # pruning makes the two consumers' aggregates differ, so exchange
+    # reuse cannot deduplicate them — without the materialization the
+    # full-corpus (pred, subj, obj) shuffle would run twice.
+    pairs = triples.groupBy("pred", "subj", "obj").agg(
+        F.count("*").alias("n_obs")
+    ).localCheckpoint(eager=True)
+    ps = predicate_stats(triples, pairs=pairs).filter(
         F.col("functionality_micros") >= min_functionality_micros
     )
-    pairs = triples.select("pred", "subj", "obj").distinct()
-    cand = pairs.join(
+    cand = pairs.select("pred", "subj", "obj").join(
         F.broadcast(ps.select("pred", "functionality_micros")), "pred"
     )
     grp = cand.groupBy("pred", "subj", "functionality_micros").agg(

@@ -39,6 +39,11 @@ class PipelineOutput:
     canon: DataFrame
     nodes: DataFrame
     edges: DataFrame
+    #: the resolved candidate-generation dictionary (curated dim, plus
+    #: the web-mined anchor dim when web_aliases) — exposed so job-level
+    #: consumers (e.g. --contexts) reuse the SAME dictionary the linking
+    #: stage probed instead of re-deriving it
+    aliases: DataFrame
     metrics: list[StageMetrics] = field(default_factory=list)
     #: scratch parquet dir backing the heavy stages of a no-workdir run
     #: (None when checkpointing to a workdir); the frames above read from
@@ -147,6 +152,7 @@ def run_pipeline(
         canon=canon,
         nodes=nodes,
         edges=edges,
+        aliases=aliases,
         metrics=metrics,
         scratch=scratch,
     )

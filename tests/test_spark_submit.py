@@ -558,3 +558,27 @@ def test_run_pipeline_contexts_flag(pyfiles_zip, tmp_path, spark):
         assert r["lemma"] in aliases
         assert len(r["left_ctx"].split(" ")) <= 5 or r["left_ctx"] == ""
         assert len(r["right_ctx"].split(" ")) <= 5 or r["right_ctx"] == ""
+
+
+def test_run_pipeline_warc_contexts_combination(pyfiles_zip, tmp_path, spark):
+    """--input-warc + --contexts: WARC pages carry no `text` column, so
+    contexts MUST mine the pipeline's extracted surface — and because
+    extraction is byte-identical to the authored text, the context count
+    matches the synth-source run exactly."""
+    from ner_app_spark.sources.warc import write_warc
+    from ner_app_spark.synth import synth_pages
+
+    warc_dir = tmp_path / "warc_in"
+    warc_dir.mkdir()
+    write_warc(str(warc_dir / "seg0.warc.gz"), synth_pages(N_PAGES))
+    outdir = str(tmp_path / "kg_out")
+    got = _submit(
+        pyfiles_zip, "run_pipeline.py",
+        "--input-warc", str(warc_dir), "--parts", "8",
+        "--output", outdir, "--contexts",
+    )
+    synth = _submit(
+        pyfiles_zip, "run_pipeline.py",
+        "--pages", str(N_PAGES), "--parts", "8", "--contexts",
+    )
+    assert got["contexts"] == synth["contexts"] > 0
