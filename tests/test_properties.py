@@ -208,3 +208,74 @@ def test_file_may_match_is_conservative(values, op, lit):
         assert kept, (values, op, lit)
     # stats on a DIFFERENT column can never justify dropping
     assert _file_may_match(entry, "other", op, lit)
+
+
+# ------------------------- edge_split / id-mint invariants for ANY input
+
+
+_triple_sets = st.lists(
+    st.tuples(
+        st.sampled_from([f"e{i}" for i in range(12)]),
+        st.sampled_from(["P", "Q", "R"]),
+        st.sampled_from([f"e{i}" for i in range(12)]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_triple_sets)
+@settings(max_examples=8, deadline=None)
+def test_edge_split_invariants_hold_for_any_triples(spark, rows):
+    """For ANY triple multiset: the output partitions the distinct
+    positives, val/test rows are transductively anchored in train, and
+    only provisional-val/test buckets can appear outside train."""
+    from ner_app_spark.operators.sampling import edge_split
+
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = edge_split(df).collect()
+    assert len(out) == len(set(rows))
+    tr_ents = {r["subj"] for r in out if r["split"] == "train"} | {
+        r["obj"] for r in out if r["split"] == "train"
+    }
+    tr_preds = {r["pred"] for r in out if r["split"] == "train"}
+    for r in out:
+        if r["split"] == "train":
+            continue
+        assert r["bucket"] >= 80
+        assert r["subj"] in tr_ents and r["obj"] in tr_ents
+        assert r["pred"] in tr_preds
+
+
+_value_sets = st.lists(
+    st.text(alphabet="abcxyzабв0123456789", min_size=1, max_size=8),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(_value_sets, _value_sets)
+@settings(max_examples=8, deadline=None)
+def test_mint_then_extend_invariants_for_any_values(spark, old_vals, new_vals):
+    """For ANY two value sets: the extended dim keeps every snapshot-1
+    id verbatim, covers old ∪ new exactly, and stays collision-free —
+    with a small bucket count so same-bucket interleaving is common."""
+    from ner_app_spark.operators.triples import extend_ids, mint_ids
+
+    old = spark.createDataFrame(
+        [(v,) for v in old_vals] or [], "entity string"
+    )
+    new = spark.createDataFrame(
+        [(v,) for v in new_vals] or [], "entity string"
+    )
+    dim1 = {r["entity"]: r["id"] for r in mint_ids(old, n_buckets=2).collect()}
+    ext = {
+        r["entity"]: r["id"]
+        for r in extend_ids(
+            mint_ids(old, n_buckets=2), new, n_buckets=2
+        ).collect()
+    }
+    assert set(ext) == set(old_vals) | set(new_vals)
+    for v, i in dim1.items():
+        assert ext[v] == i
+    assert len(set(ext.values())) == len(ext)
